@@ -1,0 +1,81 @@
+"""Run configuration — the SearchParameters analog.
+
+Reference: Core/Entities/SearchParameters/SearchParameters.cs:6-34 (folders,
+similarity degree, size/type filters) and its validator
+Api/Controllers/SearchParametersValidator.cs:11-46. Ours is a frozen dataclass
+validated at job submit; the canonical values are pinned by FIXTURES.md §3 and
+the recall gate binds to them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+import json
+import hashlib
+
+MERSENNE_61 = (1 << 61) - 1
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # extraction / filtering (FileFilter.cs:7-28 analog: lang/size predicates)
+    langs: tuple[str, ...] = ()          # empty = accept all (FileFilter.cs:7-11)
+    min_bytes: int | None = None         # doc_bytes lower bound (FileFilter.cs:19-28)
+    max_bytes: int | None = None
+
+    # exact cascade (DuplicateByHashFinder.cs:42-44,96-97)
+    prefix_fraction: float = 0.10        # stage-1 hashes first 10% of chars
+
+    # shingling / MinHash (FIXTURES.md §3)
+    shingle_k: int = 5                   # word 5-grams
+    num_perm: int = 128
+    seed: int = 42
+
+    # LSH banding: b bands x r rows, b*r == num_perm
+    bands: int = 16
+    rows_per_band: int = 8
+    jaccard_threshold: float = 0.8       # exact-verify cutoff
+
+    # SimHash (FIXTURES.md §3)
+    simhash_hamming_d: int = 3
+    simhash_bands: int = 4               # 4 x 16-bit pigeonhole bands
+
+    # substring pass (winnowing; FIXTURES.md §3)
+    winnow_kgram: int = 64               # char k-grams
+    winnow_window: int = 32
+    substring_votes: int = 8             # shared fingerprints to call a pair
+
+    # skew handling (north rule: explicit salting of hot LSH buckets)
+    bucket_cap: int = 2000               # max rows per (band_idx, band_hash) bucket
+    top_k_neighbors: int | None = None   # QdrantRepository.cs:192 limit=100; None = unlimited (recall-safe)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band must equal num_perm "
+                f"({self.bands}*{self.rows_per_band} != {self.num_perm})"
+            )
+        if not (0.0 < self.prefix_fraction <= 1.0):
+            raise ValueError("prefix_fraction must be in (0, 1]")
+        if not (0.0 < self.jaccard_threshold <= 1.0):
+            raise ValueError("jaccard_threshold must be in (0, 1]")
+        # degreeOfSimilarity <= hash bits (SearchParametersValidator.cs:28-33)
+        if not (0 <= self.simhash_hamming_d <= 64):
+            raise ValueError("simhash_hamming_d must be in [0, 64]")
+        # pigeonhole: any pair within Hamming d collides on >= 1 of (d+1) bands
+        if self.simhash_bands < self.simhash_hamming_d + 1:
+            raise ValueError("simhash_bands must be >= simhash_hamming_d + 1")
+        if (self.min_bytes is not None and self.max_bytes is not None
+                and self.min_bytes > self.max_bytes):
+            raise ValueError("min_bytes > max_bytes")
+        if self.bucket_cap < 2:
+            raise ValueError("bucket_cap must be >= 2")
+
+    def config_hash(self) -> str:
+        """Stable hash identifying this config — keys checkpoint rows so a
+        resumed run never mixes deltas from different configs."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+CANONICAL = DedupConfig()

@@ -1,0 +1,135 @@
+"""Byte-exact text extraction — the per-row invariant (FIXTURES.md §2).
+
+This is the webtext analog of the reference's content canonicalization stage
+(thumbnail pipeline, Api/Implementations/SimilarImages/ImageProcessors/
+MagicScalerImageProcessor.cs:50-98): a pure per-row function that normalizes
+raw content into the fixed form every downstream hash is computed over.
+
+Two implementations that MUST agree byte-for-byte:
+  * ``with_extracted`` — Spark built-in column expressions (Java regex), the
+    production path; no Python in the hot loop.
+  * ``extract_text_py`` — the Python mirror used by the fixture generator and
+    the invariant tests.
+
+All regexes are ASCII-explicit (no ``\\s``, no Unicode classes) so Java and
+Python agree (FIXTURES.md §2 note).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# rule b/c/d patterns — identical strings handed to Java and Python regex
+_SCRIPT = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE = r"(?is)<style\b[^>]*>.*?</style>"
+_COMMENT = r"(?s)<!--.*?-->"
+_TAG = r"<[^>]*>"
+_WS_RUN = r"[ \t\n\r\f\x0B]+"
+
+# rule e: entity decode in this exact order; &amp; last (prevents double-decode)
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def extracted_col(text: Column, html: Column) -> Column:
+    """Column expression computing ``extracted`` from (text, html).
+
+    Rule order (FIXTURES.md §2): text verbatim if present; else html decoded
+    (UTF-8, invalid -> U+FFFD, which is Java's CharsetDecoder REPLACE action,
+    matching Python errors='replace'), scripts/styles/comments deleted, tags
+    -> single space, five entities decoded, whitespace runs collapsed,
+    stripped. Else empty string (quarantine).
+    """
+    h = F.decode(html, "UTF-8")
+    h = F.regexp_replace(h, _SCRIPT, "")
+    h = F.regexp_replace(h, _STYLE, "")
+    h = F.regexp_replace(h, _COMMENT, "")
+    h = F.regexp_replace(h, _TAG, " ")
+    for ent, rep in _ENTITIES:
+        h = F.regexp_replace(h, ent, rep)
+    h = F.regexp_replace(h, _WS_RUN, " ")
+    h = F.trim(h)
+    return (
+        F.when(text.isNotNull(), text)
+        .when(html.isNotNull(), h)
+        .otherwise(F.lit(""))
+    )
+
+
+def with_extracted(df: DataFrame) -> DataFrame:
+    """documents(url, warc_ts, html, text, lang) -> + extracted STRING.
+
+    Catalyst note: when every row has ``text`` the optimizer prunes ``html``
+    out of the parquet scan only if we don't reference it — callers on
+    text-only corpora should ``df.withColumn('html', F.lit(None))`` upstream
+    or use ``with_extracted_text_only``.
+    """
+    # rule 2a requires invalid UTF-8 -> U+FFFD; Spark 4's decode raises by
+    # default, so flip the legacy REPLACE action on (runtime-settable conf)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    return df.withColumn("extracted", extracted_col(F.col("text"), F.col("html")))
+
+
+def with_extracted_text_only(df: DataFrame) -> DataFrame:
+    """Variant for corpora with no html column — keeps the scan pruned."""
+    return df.withColumn("extracted", F.coalesce(F.col("text"), F.lit("")))
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split into (clean, quarantine) after extraction.
+
+    Quarantine = empty extracted text, the analog of the reference's
+    null-hash skip for zero-byte files (HashGenerator.cs:18-19) and the
+    corrupt-file error route (SimilarImageFinder.cs:257-263). Quarantined
+    rows never participate in pairing (north rule: degenerate-signature
+    quarantine).
+    """
+    reason = (
+        F.when(F.col("text").isNull() & F.col("html").isNull(), F.lit("no_content"))
+        .otherwise(F.lit("empty"))
+    )
+    # whitespace-only catches verbatim text rows like " \t " (rule 1 does no
+    # trimming, so extracted != '' yet the row has no content to shingle)
+    blank = F.col("extracted").rlike(r"^[ \t\n\r\f\x0B]*$")
+    clean = df.filter(~blank)
+    quarantine = df.filter(blank).select("url", reason.alias("reason"))
+    return clean, quarantine
+
+
+# ---------------------------------------------------------------------------
+# Python mirror (fixtures + invariant tests only — never in the Spark plan)
+# ---------------------------------------------------------------------------
+
+_PY_SCRIPT = re.compile(r"<script\b[^>]*>.*?</script>", re.I | re.S)
+_PY_STYLE = re.compile(r"<style\b[^>]*>.*?</style>", re.I | re.S)
+_PY_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_PY_TAG = re.compile(r"<[^>]*>")
+_PY_WS = re.compile(r"[ \t\n\r\f\x0B]+")
+
+
+def extract_text_py(text: str | None, html: bytes | None) -> str:
+    """Python mirror of ``extracted_col`` — must agree byte-for-byte."""
+    if text is not None:
+        return text
+    if html is None:
+        return ""
+    s = html.decode("utf-8", errors="replace")
+    s = _PY_SCRIPT.sub("", s)
+    s = _PY_STYLE.sub("", s)
+    s = _PY_COMMENT.sub("", s)
+    s = _PY_TAG.sub(" ", s)
+    for ent, rep in _ENTITIES:
+        s = s.replace(ent, rep)
+    s = _PY_WS.sub(" ", s)
+    return s.strip(" ")

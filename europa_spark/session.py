@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the dedup workload.
+
+Settings rationale (SURVEY.md §4): AQE on (skew-join splitting + shuffle
+coalesce), shuffle partitions proportional to cores, Arrow enabled for the
+pandas UDF signature kernels with a bounded batch size (the analog of the
+reference's 128 KiB hashing buffer, HashGenerator.cs:12).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "europa-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    # local[N] -> N, local[*] -> cpu count; shuffle partitions ~ cores
+    if shuffle_partitions is None:
+        cores = os.cpu_count() or 8
+        if master.startswith("local[") and master[6:-1].isdigit():
+            cores = int(master[6:-1])
+        shuffle_partitions = max(4, cores)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        # decode(html,'UTF-8') must map invalid bytes to U+FFFD (FIXTURES.md §2
+        # rule 2a); Spark 4 default is to raise MALFORMED_CHARACTER_CODING
+        .config("spark.sql.legacy.codingErrorAction", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
