@@ -78,14 +78,17 @@ def _wrap_html(text: str, rng: np.random.Generator) -> bytes:
     if not words:
         body = ""
     tpl = (
-        "<html><head><title>t</title>"
+        "<html><head><title></title>"
         "<style>p{color:red}</style>"
         '<script type="text/javascript">var a = 1 < 2;</script>'
         "</head>\n<body>\n<!-- header -->"
         f"<p>{body}</p>\n<!-- footer <x> -->"
         "</body></html>"
     )
-    return tpl.encode("utf-8")
+    out = tpl.encode("utf-8")
+    # truth-integrity guard: html delivery must round-trip to the exact text
+    assert extract_text_py(None, out) == text, "html wrap broke the invariant"
+    return out
 
 
 @dataclass
