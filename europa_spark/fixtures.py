@@ -148,6 +148,30 @@ def _adjust_mutant(
     return mutant, j
 
 
+def _make_decoy(
+    base_words: list[str],
+    rng: np.random.Generator,
+    vocab: np.ndarray,
+    max_run_chars: int = 48,
+    k: int = 5,
+) -> tuple[list[str], float]:
+    """Below-threshold decoy that must NOT pair under ANY method: token
+    replacements are spaced so no verbatim run reaches the winnowing k-gram
+    size (64 chars) — with zero complete shared k-grams the substring pass
+    deterministically scores 0 votes — and the resulting Jaccard (~0.1-0.2)
+    sits far below the MinHash threshold."""
+    mutant = list(base_words)
+    run = 0
+    for i, w in enumerate(base_words):
+        run += len(w) + 1
+        if run >= max_run_chars:
+            mutant[i] = str(vocab[int(rng.integers(0, len(vocab)))])
+            run = 0
+    j = jaccard(_shingles(base_words, k), _shingles(mutant, k))
+    assert j < _J_LO, f"decoy landed too close to threshold: {j}"
+    return mutant, j
+
+
 def generate(n_rows: int, seed: int = 42, truth: bool = True) -> Corpus:
     rng = np.random.default_rng(seed)
     vocab = _make_vocab(rng)
@@ -202,7 +226,6 @@ def generate(n_rows: int, seed: int = 42, truth: bool = True) -> Corpus:
 
     # ---- block C: near-dup families (base + mutant [+ decoy]) -------------
     targets = [0.95, 0.90, 0.85]
-    decoy_targets = [0.50, 0.30]
     made, fi = 0, 0
     c_f_budget = n_f - (max(0, n_f - max(1, n_f // 3)) - f_budget)
     c_f_budget = max(0, n_f // 3)
@@ -221,7 +244,7 @@ def generate(n_rows: int, seed: int = 42, truth: bool = True) -> Corpus:
             edges.append((a, b))
             made += 1
         if remaining >= 3 and fi % 2 == 0:
-            dec, j = _adjust_mutant(base_words, decoy_targets[fi % 2], rng, vocab)
+            dec, j = _make_decoy(base_words, rng, vocab)
             docs.append(_Doc(f"c{fi:05d}d", " ".join(dec), None, "C"))
             made += 1
         if c_f_budget > 0 and fi % 4 == 0:

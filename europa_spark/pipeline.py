@@ -1,0 +1,138 @@
+"""End-to-end near-duplicate pipeline — the SearchService dispatch analog
+(Api/Implementations/SearchService.cs:32-44) over webtext.
+
+Flow (SURVEY.md §3 Spark trace):
+  scan -> lang/size filters -> extract -> quarantine split
+       -> exact collapse (hash once per unique content)
+       -> signature stages on representatives only
+       -> confirmed pairs (exact star edges ∪ minhash ∪ substring [∪ simhash])
+       -> union-find -> clusters / per-doc report
+
+Default method set is (exact, minhash, substring) — the Jaccard-semantics
+set the recall gate binds to; simhash is the opt-in fuzzy bit-level path.
+Each stage optionally checkpoints through a CheckpointStore for mid-run
+resume (north rule).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointStore
+from .cluster import cluster_members, connected_components
+from .config import DedupConfig, CANONICAL
+from .exact import exact_pairs, exact_membership, representatives, with_content_hash
+from .extract import split_quarantine, with_extracted
+from .minhash import minhash_pairs, with_signatures
+from .simhash import simhash_pairs
+from .substring import substring_pairs
+
+DEFAULT_METHODS = ("exact", "minhash", "substring")
+
+
+def load_documents(spark: SparkSession, source: str) -> DataFrame:
+    """Iceberg table name or parquet path/dir (catalog shim: no Iceberg jar
+    in the sandbox; `db.table` names go through the configured catalog)."""
+    if source.endswith(".parquet") or "/" in source:
+        return spark.read.parquet(source)
+    return spark.read.table(source)
+
+
+def apply_filters(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Declarative scan predicates (FileFilter.cs:7-28 analog) — expressed
+    as filters so Catalyst pushes them into the parquet/Iceberg scan."""
+    out = docs
+    if cfg.langs:
+        out = out.filter(F.col("lang").isin(list(cfg.langs)))
+    if cfg.min_bytes is not None or cfg.max_bytes is not None:
+        size = F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+        if cfg.min_bytes is not None:
+            out = out.filter(size >= cfg.min_bytes)
+        if cfg.max_bytes is not None:
+            out = out.filter(size <= cfg.max_bytes)
+    return out
+
+
+def run(
+    docs: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    methods: tuple[str, ...] = DEFAULT_METHODS,
+    store: CheckpointStore | None = None,
+) -> dict[str, DataFrame]:
+    """Returns {'quarantine', 'membership', 'pairs', 'components',
+    'clusters', 'report'} DataFrames."""
+    spark = docs.sparkSession
+
+    def stage(name: str, compute):
+        if store is None:
+            return compute()
+        df, _ = store.get_or_compute(spark, name, compute)
+        return df
+
+    filtered = apply_filters(docs, cfg)
+    extracted = with_extracted(filtered)
+    clean, quarantine = split_quarantine(extracted)
+    quarantine = stage("quarantine", lambda: quarantine)
+
+    hashed = with_content_hash(clean, cfg)
+    membership = stage(
+        "membership", lambda: exact_membership(clean, cfg)
+    )
+    reps = representatives(hashed).select("url", "extracted")
+
+    pair_frames: list[DataFrame] = []
+    if "exact" in methods:
+        pair_frames.append(stage("pairs_exact", lambda: exact_pairs(membership)))
+    if "minhash" in methods or "substring" in methods or "simhash" in methods:
+        # signatures are the expensive stage — checkpoint them so a resumed
+        # run skips straight to pairing (J5 cache-hit semantics)
+        if "minhash" in methods:
+            sigs = stage("signatures", lambda: with_signatures(reps, cfg))
+            pair_frames.append(
+                stage("pairs_minhash", lambda: minhash_pairs(reps, cfg, sigs=sigs))
+            )
+        if "substring" in methods:
+            pair_frames.append(
+                stage("pairs_substring", lambda: substring_pairs(reps, cfg))
+            )
+        if "simhash" in methods:
+            pair_frames.append(
+                stage("pairs_simhash", lambda: simhash_pairs(reps, cfg))
+            )
+
+    pairs = stage(
+        "pairs",
+        lambda: reduce(
+            DataFrame.unionByName, pair_frames
+        ).dropDuplicates(["url_a", "url_b"]),
+    )
+
+    components = stage("components", lambda: connected_components(pairs))
+    clusters = stage(
+        "clusters", lambda: cluster_members(components, clean.select("url", "warc_ts"))
+    )
+
+    # per-doc dedup report: every clean doc with its cluster (or itself) and
+    # a keep/duplicate decision — the flagship output shape
+    report = (
+        clean.select("url", "warc_ts")
+        .join(components, "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("cluster_id"), F.col("url")).alias("cluster_id"),
+            (F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col("url")))
+            .alias("is_duplicate"),
+        )
+    )
+
+    return {
+        "quarantine": quarantine,
+        "membership": membership,
+        "pairs": pairs,
+        "components": components,
+        "clusters": clusters,
+        "report": report,
+    }

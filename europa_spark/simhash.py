@@ -1,0 +1,149 @@
+"""SimHash-64 fuzzy bit-level path — the dHash/pHash analog.
+
+Reference semantics: 64-bit perceptual bit signatures (DifferenceHash.cs:
+20-46, PerceptualHash.cs:64-120, HashSize=64), searched within a Hamming
+radius (degreeOfSimilarity, SearchParametersValidator.cs:28) where the
+Qdrant ±1-vector Dot score obeys dot = 64 - 2*hamming (QdrantRepository.cs:
+240-247; SURVEY.md §2.9 delta 3 — we expose the Hamming threshold directly
+and keep the dot-score equivalence in the tests).
+
+Spark design: signature is ONE LongType column (cheaper than any array);
+candidate generation is a pigeonhole band equi-join — split 64 bits into
+``simhash_bands`` disjoint 16-bit keys; any pair within Hamming d collides
+on >= 1 band when bands >= d+1 (guaranteed recall, unlike probabilistic
+LSH); verification is ``bit_count(a ^ b) <= d``, whole-stage-codegen'd.
+
+This path is NOT in the default cluster pipeline (it finds bit-level-similar
+pairs the Jaccard truth tables don't plant); it is the configurable fuzzy
+alternative per the north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .config import DedupConfig, CANONICAL
+from .minhash import _token_hash
+
+_U64 = np.uint64
+_BIGRAM_MIX = _U64(0xC2B2AE3D27D4EB4F)
+
+
+def _simhash_np(text: str, cache: dict) -> int:
+    """64-bit SimHash over word unigrams + bigrams (FIXTURES.md §3)."""
+    toks = text.split(" ")
+    th = np.fromiter(
+        (_token_hash(t, cache) for t in toks), dtype=_U64, count=len(toks)
+    )
+    if len(th) == 0:
+        return 0
+    feats = [th]
+    if len(th) >= 2:
+        feats.append(th[:-1] * _BIGRAM_MIX + th[1:])
+    h = np.concatenate(feats)
+    bits = (h[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    sig = 0
+    for i in np.nonzero(votes >= 0)[0]:
+        sig |= 1 << int(i)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # two's complement
+
+
+def make_simhash_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def simhash64(text: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series(
+            np.array(
+                [_simhash_np(t if t is not None else "", cache) for t in text],
+                dtype=np.int64,
+            )
+        )
+
+    return simhash64
+
+
+def with_simhash(reps: DataFrame) -> DataFrame:
+    udf = make_simhash_udf()
+    return reps.withColumn("simhash", udf(F.col("extracted")))
+
+
+def simhash_pairs(
+    reps: DataFrame, cfg: DedupConfig = CANONICAL, sigs: DataFrame | None = None
+) -> DataFrame:
+    """Confirmed pairs within Hamming distance cfg.simhash_hamming_d.
+
+    score = (64 - hamming) / 64; the reference's dot score is recoverable as
+    64 - 2*hamming (QdrantRepository.cs:240-247).
+    """
+    if sigs is None:
+        sigs = with_simhash(reps)
+    sigs = sigs.select("url", "simhash")
+    nb = cfg.simhash_bands
+    width = 64 // nb
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(nb)
+        ]
+    )
+    bt = sigs.select("url", "simhash", F.posexplode(bands).alias("band_idx", "band_key"))
+
+    # same hot-bucket star routing as the MinHash path (degenerate signatures
+    # — e.g. near-empty docs hashing to 0 — would otherwise explode)
+    w = Window.partitionBy("band_idx", "band_key")
+    sized = bt.withColumn("bucket_n", F.count("*").over(w)).withColumn(
+        "bucket_min", F.min("url").over(w)
+    )
+    normal = sized.filter(F.col("bucket_n").between(2, cfg.bucket_cap)).select(
+        "band_idx", "band_key", "url", "simhash"
+    )
+    a, b = normal.alias("a"), normal.alias("b")
+    cand_normal = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b.url").alias("url_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+    )
+    hot = sized.filter(F.col("bucket_n") > cfg.bucket_cap)
+    hot_min = hot.select("band_idx", "band_key", "url", "simhash").alias("hm")
+    cand_hot = (
+        hot.filter(F.col("url") != F.col("bucket_min"))
+        .alias("h")
+        .join(
+            hot_min,
+            (F.col("h.band_idx") == F.col("hm.band_idx"))
+            & (F.col("h.band_key") == F.col("hm.band_key"))
+            & (F.col("hm.url") == F.col("h.bucket_min")),
+        )
+        .select(
+            F.col("h.bucket_min").alias("url_a"),
+            F.col("h.url").alias("url_b"),
+            F.col("hm.simhash").alias("sig_a"),
+            F.col("h.simhash").alias("sig_b"),
+        )
+    )
+    cands = cand_normal.unionByName(cand_hot).dropDuplicates(["url_a", "url_b"])
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= cfg.simhash_hamming_d)
+        .select(
+            "url_a",
+            "url_b",
+            F.lit("simhash").alias("method"),
+            ((F.lit(64) - F.col("hamming")) / F.lit(64)).alias("score"),
+        )
+    )

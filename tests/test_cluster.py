@@ -1,0 +1,53 @@
+"""Union-find fixpoint on crafted graphs (SURVEY.md §5.2 item 2)."""
+
+from __future__ import annotations
+
+from europa_spark.cluster import cluster_members, connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "url_a string, url_b string")
+    return {r["url"]: r["cluster_id"] for r in connected_components(df).collect()}
+
+
+def test_chain(spark):
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    assert got == {u: "a" for u in "abcde"}
+
+
+def test_star(spark):
+    got = _cc(spark, [("m", x) for x in ["n", "o", "p", "q"]])
+    assert got == {u: "m" for u in "mnopq"}
+
+
+def test_two_components_and_self_loop(spark):
+    got = _cc(spark, [("a", "b"), ("x", "y"), ("y", "z"), ("q", "q")])
+    assert got["a"] == got["b"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+    assert got["q"] == "q"
+
+
+def test_long_chain_converges(spark):
+    n = 40
+    edges = [(f"u{i:03d}", f"u{i+1:03d}") for i in range(n)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {"u000"}
+
+
+def test_cluster_members_order(spark):
+    import datetime
+
+    comps = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], "url string, cluster_id string"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2025, 1, 1)),
+            ("b", datetime.datetime(2025, 1, 2)),
+            ("c", datetime.datetime(2025, 1, 3)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    rows = {r["cluster_id"]: r for r in cluster_members(comps, docs).collect()}
+    assert list(rows) == ["a"]  # singleton component c is dropped
+    assert [m["url"] for m in rows["a"]["members"]] == ["b", "a"]  # newest first

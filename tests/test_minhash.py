@@ -1,0 +1,109 @@
+"""MinHash/LSH path: signature determinism, estimator sanity, planted-pair
+recall, decoy rejection, and the hot-bucket star-edge skew path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from europa_spark.config import DedupConfig
+from europa_spark.exact import representatives, with_content_hash
+from europa_spark.extract import split_quarantine, with_extracted
+from europa_spark.fixtures import _shingles, jaccard
+from europa_spark.minhash import (
+    band_table,
+    candidate_pairs,
+    minhash_pairs,
+    verify_pairs,
+    with_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def reps(spark, docs_df):
+    clean, _ = split_quarantine(with_extracted(docs_df))
+    return representatives(with_content_hash(clean)).select("url", "extracted").cache()
+
+
+@pytest.fixture(scope="module")
+def sigs(reps):
+    return with_signatures(reps).cache()
+
+
+def test_signature_shape_and_determinism(spark, sigs):
+    two = sigs.limit(5).select("url", "minhash", "shingles")
+    rows1 = {r["url"]: r["minhash"] for r in two.collect()}
+    rows2 = {r["url"]: r["minhash"] for r in two.collect()}
+    assert rows1 == rows2
+    assert all(len(v) == 128 for v in rows1.values())
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement fraction must track true Jaccard (property)."""
+    base = " ".join(f"w{i}" for i in range(300))
+    variant = " ".join(f"w{i}" if i % 10 else f"x{i}" for i in range(300))
+    df = spark.createDataFrame([("a", base), ("b", variant)], "url string, extracted string")
+    s = {r["url"]: r for r in with_signatures(df).collect()}
+    true_j = jaccard(_shingles(base.split(" ")), _shingles(variant.split(" ")))
+    est = sum(x == y for x, y in zip(s["a"]["minhash"], s["b"]["minhash"])) / 128
+    assert abs(est - true_j) < 0.15, (true_j, est)
+
+
+def _planted_minhash_pairs(corpus):
+    return {
+        (a, b)
+        for a, b, m, _ in corpus.expected_pairs.itertuples(index=False)
+        if m == "minhash"
+    }
+
+
+def test_recall_and_decoy_rejection(spark, reps, sigs, corpus):
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in minhash_pairs(reps, sigs=sigs).collect()
+    }
+    planted = _planted_minhash_pairs(corpus)
+    missed = planted - got
+    recall = 1 - len(missed) / len(planted)
+    assert recall >= 0.99, f"recall {recall}, missed {sorted(missed)[:5]}"
+    # decoys (block C 'd' docs) must never pair with their base
+    decoy_pairs = {p for p in got if "/c/" in p[0] and p[1].endswith("d")}
+    assert not decoy_pairs
+    # every found pair must truly be above threshold (verify step is exact)
+    ext = {r["url"]: r["extracted"] for r in reps.collect()}
+    for a, b in list(got - planted)[:50]:
+        j = jaccard(_shingles(ext[a].split(" ")), _shingles(ext[b].split(" ")))
+        assert j >= 0.8, (a, b, j)
+
+
+def test_hot_bucket_star_edges(spark):
+    """Oversized band buckets route to linear star edges (skew cap)."""
+    cfg = DedupConfig(bucket_cap=3)
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(f"u{i:02d}", text) for i in range(10)], "url string, extracted string"
+    )
+    sigs = with_signatures(df, cfg)
+    cands = candidate_pairs(band_table(sigs, cfg), cfg)
+    rows = {(r["url_a"], r["url_b"]) for r in cands.collect()}
+    # star: every member connects to the bucket min, u00
+    assert rows == {("u00", f"u{i:02d}") for i in range(1, 10)}
+    confirmed = verify_pairs(cands, sigs, cfg)
+    assert confirmed.count() == 9  # identical text -> J=1 everywhere
+
+
+def test_band_join_is_narrow(spark, sigs):
+    """The band self-join must shuffle only narrow columns — the wide
+    shingles/minhash arrays may not appear anywhere in its optimized plan."""
+    bt = band_table(sigs)
+    assert set(bt.columns) == {"url", "band_idx", "band_hash"}
+    # shingles/minhash legitimately feed the signature projection, but no
+    # SHUFFLE may carry the wide arrays: every Exchange input must be narrow
+    import re
+
+    plan = (
+        candidate_pairs(bt)._jdf.queryExecution().executedPlan().toString()
+    )
+    for m in re.finditer(r"Exchange ([^\n]*)", plan):
+        line = m.group(1)
+        assert "shingles" not in line and "minhash" not in line, line

@@ -1,0 +1,101 @@
+"""End-to-end gates: dup-pair recall >= 0.99, cluster membership equality,
+quarantine, permutation invariance, checkpointed resume (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from europa_spark.checkpoint import CheckpointStore
+from europa_spark.config import CANONICAL
+from europa_spark.pipeline import run
+
+
+@pytest.fixture(scope="module")
+def result(spark, docs_df):
+    out = run(docs_df)
+    for k in ("pairs", "components", "report"):
+        out[k] = out[k].cache()
+    return out
+
+
+def _pair_urls(corpus):
+    return {
+        (a, b) for a, b, _, _ in corpus.expected_pairs.itertuples(index=False)
+    }
+
+
+def test_dup_pair_recall(result, corpus):
+    """THE gate (BASELINE.json): recall >= 0.99 of planted dup pairs at the
+    canonical config. Found pairs are compared at the connectivity level:
+    a planted (a, b) counts as recalled iff a and b share a cluster."""
+    comp = {r["url"]: r["cluster_id"] for r in result["components"].collect()}
+    planted = _pair_urls(corpus)
+    recalled = sum(
+        1 for a, b in planted if comp.get(a) is not None and comp.get(a) == comp.get(b)
+    )
+    recall = recalled / len(planted)
+    assert recall >= 0.99, recall
+
+
+def test_cluster_membership_equality(result, corpus):
+    """Cluster assignments must match the planted truth exactly (membership
+    equality, not just recall — no over-merging either)."""
+    got = {r["url"]: r["cluster_id"] for r in result["components"].collect()}
+    want = dict(
+        zip(corpus.expected_clusters["url"], corpus.expected_clusters["cluster_id"])
+    )
+    assert got == want
+
+
+def test_quarantine_and_report(result, corpus, docs_df):
+    quar = {r["url"] for r in result["quarantine"].collect()}
+    assert quar == set(corpus.expected_quarantine["url"])
+    report = result["report"]
+    assert report.count() == docs_df.count() - len(quar)
+    dup_rows = report.filter("is_duplicate").count()
+    n_clustered = len(corpus.expected_clusters)
+    n_components = corpus.expected_clusters["cluster_id"].nunique()
+    assert dup_rows == n_clustered - n_components
+
+
+def test_permutation_invariance(spark, docs_df, result):
+    """Shuffling/repartitioning input never changes cluster membership
+    (SURVEY.md §5.2 property 5)."""
+    shuffled = docs_df.repartition(13).sortWithinPartitions("lang")
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in run(shuffled)["components"].collect()
+    }
+    base = {r["url"]: r["cluster_id"] for r in result["components"].collect()}
+    assert got == base
+
+
+def test_checkpoint_resume(spark, docs_df, tmp_path, result):
+    """Resume: second run with the same store recomputes nothing and
+    returns identical outputs (idempotent-resume property)."""
+    store = CheckpointStore(str(tmp_path / "ckpt"), CANONICAL.config_hash())
+    r1 = run(docs_df, store=store)
+    pairs1 = {(r["url_a"], r["url_b"]) for r in r1["pairs"].collect()}
+    stages_after_first = {c["stage"] for c in store.counters()}
+
+    store2 = CheckpointStore(str(tmp_path / "ckpt"), CANONICAL.config_hash())
+    r2 = run(docs_df, store=store2)
+    pairs2 = {(r["url_a"], r["url_b"]) for r in r2["pairs"].collect()}
+    assert pairs1 == pairs2
+    # no stage re-ran: counters unchanged after the resumed run
+    assert {c["stage"] for c in store2.counters()} == stages_after_first
+    assert len(store2.counters()) == len(store.counters())
+    # and the result matches the non-checkpointed run
+    base = {(r["url_a"], r["url_b"]) for r in result["pairs"].collect()}
+    assert pairs1 == base
+
+
+def test_counters_lineage(spark, docs_df, tmp_path):
+    store = CheckpointStore(str(tmp_path / "c2"), CANONICAL.config_hash())
+    run(docs_df, store=store)
+    counters = store.counters()
+    assert counters, "counters must be recorded"
+    for c in counters:
+        assert c["rows_out"] == sum(p["rows"] for p in c["partitions"])
+        assert c["wall_ms"] >= 0
