@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns — the literal vector-search
+analog of the reference's Qdrant layer (Api/Client/QdrantRepository.cs:
+184-206: radius/top-k search over named vectors), for tables like
+embeddings(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+
+Three tiers:
+  * knn_exact_quantized — brute-force top-k by integer-quantized dot product
+    (floor(x*1000)); integer arithmetic makes results bit-identical across
+    engines, so this is the DuckDB-oracle-gated variant;
+  * knn_cosine — brute-force float cosine top-k via numpy inside
+    mapInPandas (Arrow batches, broadcast right side) — the exact baseline;
+  * ann_lsh — random-hyperplane LSH (L tables x nbits sign bits -> bucket
+    equi-join -> exact cosine verify -> top-k): the scale path; bucket
+    equi-joins distribute exactly like the text LSH band joins.
+
+Scale notes: brute force is O(n^2) and exists as the correctness baseline;
+ann_lsh is O(n * bucket) with the same skew-cap story as minhash.py. At real
+scale the right side of knn_cosine becomes an IVF partition assignment
+instead of a broadcast — the plumbing (schema, batching) is identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000
+
+
+def _quant(col):
+    return F.transform(col, lambda x: F.floor(x * QUANT_SCALE).cast("long"))
+
+
+def knn_exact_quantized(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k neighbors per vector by quantized dot product.
+    Output: (vec_id, neighbor_id, qdot, rank) — deterministic ties by
+    neighbor_id."""
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    a = q.select(F.col("vec_id"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
+    dots = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qdot",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "qdot", "rank")
+    )
+
+
+def knn_exact_quantized_sql(k: int = 5) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(a.qv) + 1),
+                  i -> a.qv[i] * b.qv[i])) AS qdot
+  FROM q a, q b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, qdot,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY qdot DESC, neighbor_id ASC) AS rank
+  FROM dots
+)
+SELECT vec_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def knn_cosine(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k via numpy against a broadcast matrix (the
+    brute-force baseline; Arrow-batched, no per-row Python)."""
+    rows = emb.select("vec_id", "embedding").collect()  # right side: small by design
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    out_schema = "vec_id long, neighbor_id long, cosine double, rank int"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M, I, NR = b_mat.value, b_ids.value, b_norms.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            qn[qn == 0] = 1.0
+            S = (Q @ M.T) / qn[:, None] / NR[None, :]
+            qids = pdf["vec_id"].to_numpy()
+            res = []
+            for r, qid in enumerate(qids):
+                s = S[r].copy()
+                s[I == qid] = -np.inf
+                # top-k with deterministic (score desc, id asc) ties
+                order = np.lexsort((I, -s))[:k]
+                for rank, j in enumerate(order, 1):
+                    res.append((qid, I[j], S[r, j], rank))
+            yield pd.DataFrame(
+                res, columns=["vec_id", "neighbor_id", "cosine", "rank"]
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(compute, out_schema)
+
+
+def ann_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    n_tables: int = 12,
+    n_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets -> candidate equi-join
+    -> exact cosine on candidates -> rank. Deterministic hyperplanes from
+    the seed."""
+    # hyperplanes are generated lazily inside the UDF from the seed, so the
+    # plan ships no data — mirrors 'no driver-side state'
+    dim = len(emb.select("embedding").first()["embedding"])
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(embedding: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        H = rng.standard_normal((n_tables * n_bits, dim))
+        M = np.array(embedding.tolist(), dtype=np.float64)
+        signs = (M @ H.T) >= 0  # (n, T*B)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        out = []
+        for row in signs:
+            bs = row.reshape(n_tables, n_bits) @ weights
+            # offset buckets per table so tables don't collide
+            out.append([int(t << 32 | int(b)) for t, b in enumerate(bs)])
+        return pd.Series(out)
+
+    with_b = emb.select(
+        "vec_id", "embedding", F.explode(buckets(F.col("embedding"))).alias("bucket")
+    )
+    a = with_b.select(F.col("vec_id"), F.col("embedding").alias("ea"), "bucket")
+    b = with_b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = cands.withColumn(
+        "cosine", dot / (norm(F.col("ea")) * norm(F.col("eb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )

@@ -41,10 +41,11 @@ def _winnow_np(text: str, k: int, w: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=_U64)
     if n < k:
-        # short doc: single fingerprint of the whole text
-        h = _U64(0)
-        for x in b:
-            h = h * _ROLL_BASE + x
+        # short doc: single fingerprint of the whole text (python ints mod
+        # 2^64 — numpy warns on scalar uint64 overflow)
+        h = 0
+        for x in b.tolist():
+            h = (h * int(_ROLL_BASE) + int(x)) & 0xFFFFFFFFFFFFFFFF
         return np.array([h], dtype=_U64)
     m = n - k + 1
     h = np.zeros(m, dtype=_U64)
