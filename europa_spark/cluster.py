@@ -49,39 +49,40 @@ def connected_components(
     )
 
     for it in range(max_iter):
-        # propagate: every neighbor's label is a candidate for mine
+        # propagate: every neighbor's label is a candidate for mine. The old
+        # label rides along (is_old tag) so the convergence check falls out
+        # of the same aggregation — no extra join/shuffle per round.
         prop = (
             adj.join(labels, adj["url_b"] == labels["url"])
-            .select(F.col("url_a").alias("url"), "label")
+            .select(F.col("url_a").alias("url"), "label", F.lit(False).alias("is_old"))
         )
         stepped = (
-            prop.unionByName(labels)
+            prop.unionByName(labels.withColumn("is_old", F.lit(True)))
             .groupBy("url")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+            )
         )
         # pointer doubling: also adopt my label's label — turns the
         # O(diameter) propagation into O(log diameter) rounds
         lut = stepped.select(
             F.col("url").alias("l_url"), F.col("label").alias("l_label")
         )
+        final_label = F.least(
+            F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+        )
         new_labels = (
             stepped.join(lut, stepped["label"] == lut["l_url"], "left")
             .select(
                 "url",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
-                ).alias("label"),
+                final_label.alias("label"),
+                (final_label != F.col("old_label")).alias("changed"),
             )
         )
-        if checkpoint_every and it % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "url")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        new_labels = new_labels.localCheckpoint()  # also cuts lineage
+        changed = new_labels.filter("changed").count()  # cheap: materialized
+        labels = new_labels.select("url", "label")
         if changed == 0:
             break
     else:

@@ -20,6 +20,7 @@ MERSENNE_61 = (1 << 61) - 1
 class DedupConfig:
     # extraction / filtering (FileFilter.cs:7-28 analog: lang/size predicates)
     langs: tuple[str, ...] = ()          # empty = accept all (FileFilter.cs:7-11)
+    exclude_langs: tuple[str, ...] = ()  # non-empty = reject (FileFilter.cs:13-17)
     min_bytes: int | None = None         # doc_bytes lower bound (FileFilter.cs:19-28)
     max_bytes: int | None = None
 

@@ -416,7 +416,11 @@ def write_corpus(corpus: Corpus, out_dir: str) -> None:
         ],
         names=["url", "warc_ts", "html", "text", "lang"],
     )
-    pq.write_table(table, os.path.join(out_dir, "documents.parquet"))
+    # small row groups so Spark gets parallel input splits (a single row
+    # group would serialize the pre-shuffle extract/signature stages)
+    pq.write_table(
+        table, os.path.join(out_dir, "documents.parquet"), row_group_size=4096
+    )
     for name in ("expected_extraction", "expected_pairs", "expected_clusters",
                  "expected_quarantine"):
         df = getattr(corpus, name)

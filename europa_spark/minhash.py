@@ -70,6 +70,72 @@ def _shingle_hashes_np(text: str, k: int, cache: dict) -> np.ndarray:
     return np.unique(acc)
 
 
+_CHUNK_TOKENS = 64_000  # keep the k-gram polynomial loop cache-resident
+
+
+def _batch_shingle_hashes(texts: list[str], k: int) -> list[np.ndarray]:
+    """Chunked-batch twin of _shingle_hashes_np: tokenize rows, hash unique
+    tokens once per chunk (pd.factorize, C speed; the token-hash dict cache
+    of the reference kernel becomes a vectorized gather), then compute the
+    k-gram polynomial over ~64k-token chunks with row-boundary masking.
+    Identical output to the per-row reference kernel (asserted in tests)."""
+    tok_lists = [t.split(" ") for t in texts]
+    out: list[np.ndarray] = [None] * len(texts)  # type: ignore[list-item]
+    hash_cache: dict[str, int] = {}
+    i = 0
+    while i < len(tok_lists):
+        j, toks = i, 0
+        while j < len(tok_lists) and (toks == 0 or toks + len(tok_lists[j]) <= _CHUNK_TOKENS):
+            toks += len(tok_lists[j])
+            j += 1
+        chunk = tok_lists[i:j]
+        lens = np.fromiter((len(t) for t in chunk), dtype=np.int64, count=len(chunk))
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for t in chunk:
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+        codes, uniques = pd.factorize(flat)
+        uh = np.fromiter(
+            (
+                hash_cache.get(u)
+                or hash_cache.setdefault(
+                    u,
+                    int.from_bytes(
+                        hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(),
+                        "little",
+                    ),
+                )
+                for u in uniques
+            ),
+            dtype=_U64,
+            count=len(uniques),
+        )
+        T = uh[codes]
+        acc = None
+        m_total = total - k + 1
+        if m_total > 0:
+            acc = T[0:m_total].copy()
+            for jj in range(1, k):
+                acc *= _SHINGLE_BASE
+                acc += T[jj : jj + m_total]
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        for r, n in enumerate(lens):
+            n, s = int(n), int(starts[r])
+            if n >= k:
+                out[i + r] = np.unique(acc[s : s + n - k + 1])
+            else:
+                # short doc: polynomial over all its tokens
+                a = np.zeros(1, dtype=_U64)
+                for jj in range(n):
+                    a = a * _SHINGLE_BASE + T[s + jj]
+                out[i + r] = np.unique(a) if n else np.empty(0, dtype=_U64)
+        i = j
+    return out
+
+
 def make_shingle_udf(cfg: DedupConfig = CANONICAL):
     from pyspark.sql.functions import pandas_udf
 
@@ -77,15 +143,10 @@ def make_shingle_udf(cfg: DedupConfig = CANONICAL):
 
     @pandas_udf(ArrayType(LongType()))
     def shingle_hashes(text: pd.Series) -> pd.Series:
-        cache: dict = {}
-        return pd.Series(
-            [
-                _shingle_hashes_np(t if t is not None else "", k, cache)
-                .view(np.int64)
-                .tolist()
-                for t in text
-            ]
+        arrs = _batch_shingle_hashes(
+            [t if t is not None else "" for t in text], k
         )
+        return pd.Series([a.view(np.int64).tolist() for a in arrs])
 
     return shingle_hashes
 
@@ -99,63 +160,97 @@ def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _minhash_of(
+    arrs: list[np.ndarray],
+    a: np.ndarray,
+    b: np.ndarray,
+    num_perm: int,
+    max_cells: int,
+) -> list[list[int]]:
+    """MinHash signatures for a list of shingle-hash arrays. Chunked so the
+    (num_perm x shingles) permutation matrix stays cache-friendly; mins via
+    a single np.minimum.reduceat pass per chunk."""
+    out: list[list[int]] = []
+    i = 0
+    while i < len(arrs):
+        j, cells = i, 0
+        while j < len(arrs) and (cells == 0 or cells + len(arrs[j]) * num_perm <= max_cells):
+            cells += len(arrs[j]) * num_perm
+            j += 1
+        chunk = arrs[i:j]
+        nonempty = [c for c in chunk if len(c)]
+        if nonempty:
+            s = np.concatenate(nonempty)
+            x = a[:, None] * s[None, :] + b[:, None]              # uint64 wrap
+            offs = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum([len(c) for c in nonempty[:-1]], out=offs[1:])
+            mins = np.minimum.reduceat(x, offs, axis=1)           # (P, rows)
+        mi = 0
+        for c in chunk:
+            if len(c) == 0:
+                # degenerate signature — quarantined upstream, but keep a
+                # deterministic sentinel rather than exploding
+                out.append([np.iinfo(np.int64).max] * num_perm)
+            else:
+                out.append(mins[:, mi].view(np.int64).tolist())
+                mi += 1
+        i = j
+    return out
+
+
 def make_minhash_udf(cfg: DedupConfig = CANONICAL):
     from pyspark.sql.functions import pandas_udf
 
     a, b = _perm_params(cfg)
     num_perm = cfg.num_perm
-    # chunk rows so the (num_perm x total_shingles) matrix stays ~100 MB
-    max_cells = 16_000_000
+    max_cells = 4_000_000
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_sig(shingles: pd.Series) -> pd.Series:
-        out: list[list[int]] = []
         arrs = [
             np.asarray(s, dtype=np.int64).view(_U64)
             if s is not None and len(s) > 0
             else np.empty(0, dtype=_U64)
             for s in shingles
         ]
-        i = 0
-        while i < len(arrs):
-            # grow a chunk up to the cell budget
-            j, cells = i, 0
-            while j < len(arrs) and (cells == 0 or cells + len(arrs[j]) * num_perm <= max_cells):
-                cells += len(arrs[j]) * num_perm
-                j += 1
-            chunk = arrs[i:j]
-            lens = np.array([len(c) for c in chunk])
-            nonempty = [c for c in chunk if len(c)]
-            if nonempty:
-                s = np.concatenate(nonempty)
-                x = a[:, None] * s[None, :] + b[:, None]          # uint64 wrap
-                offs = np.zeros(len(nonempty), dtype=np.int64)
-                np.cumsum([len(c) for c in nonempty[:-1]], out=offs[1:])
-                mins = np.minimum.reduceat(x, offs, axis=1)        # (P, rows)
-            mi = 0
-            for ln in lens:
-                if ln == 0:
-                    # degenerate signature — quarantined upstream, but keep a
-                    # deterministic sentinel rather than exploding
-                    out.append([np.iinfo(np.int64).max] * num_perm)
-                else:
-                    out.append(mins[:, mi].view(np.int64).tolist())
-                    mi += 1
-            i = j
-        return pd.Series(out)
+        return pd.Series(_minhash_of(arrs, a, b, num_perm, max_cells))
 
     return minhash_sig
 
 
+def make_signature_udf(cfg: DedupConfig = CANONICAL):
+    """Fused shingles+minhash in ONE pandas UDF (single Arrow round-trip;
+    the shingle arrays never cross JVM<->Python twice)."""
+    from pyspark.sql.functions import pandas_udf
+
+    k = cfg.shingle_k
+    a, b = _perm_params(cfg)
+    num_perm = cfg.num_perm
+    max_cells = 4_000_000
+
+    @pandas_udf("shingles array<bigint>, minhash array<bigint>")
+    def signature(text: pd.Series) -> pd.DataFrame:
+        arrs = _batch_shingle_hashes([t if t is not None else "" for t in text], k)
+        mins = _minhash_of(arrs, a, b, num_perm, max_cells)
+        return pd.DataFrame(
+            {
+                "shingles": [x.view(np.int64).tolist() for x in arrs],
+                "minhash": mins,
+            }
+        )
+
+    return signature
+
+
 def with_signatures(reps: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
     """reps(url, extracted, ...) -> + shingles ARRAY<BIGINT>,
-    minhash ARRAY<BIGINT>. One Arrow round-trip per UDF; everything else
+    minhash ARRAY<BIGINT>. One fused Arrow round-trip; everything else
     stays JVM-side."""
-    sh = make_shingle_udf(cfg)
-    mh = make_minhash_udf(cfg)
-    return reps.withColumn("shingles", sh(F.col("extracted"))).withColumn(
-        "minhash", mh(F.col("shingles"))
-    )
+    sig = make_signature_udf(cfg)
+    s = reps.withColumn("_sig", sig(F.col("extracted")))
+    return s.withColumn("shingles", F.col("_sig.shingles")).withColumn(
+        "minhash", F.col("_sig.minhash")
+    ).drop("_sig")
 
 
 def band_table(sigs: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
@@ -226,6 +321,55 @@ def verify_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    existing_sigs: DataFrame,
+    new_reps: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    existing_pairs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Delta compute for newly-arrived documents (J4/J5 resume semantics:
+    cached signatures are never recomputed, verified pairs never re-verified,
+    QdrantRepository.cs:158-182 + SimilarImageFinder.cs:303-315).
+
+    Returns (new_sigs, new_pairs): new_pairs touches at least one new doc —
+    probes are ONLY the new docs' bands, joined against the full band index
+    (old pairs among existing docs are already in the checkpoint).
+    """
+    new_sigs = with_signatures(new_reps, cfg)
+    cols = ["url", "shingles", "minhash"]
+    all_sigs = existing_sigs.select(*cols).unionByName(new_sigs.select(*cols))
+    probes = band_table(new_sigs, cfg)
+    index = band_table(all_sigs, cfg)
+    cands = (
+        probes.alias("a")
+        .join(index.alias("b"), ["band_idx", "band_hash"])
+        .filter(F.col("a.url") != F.col("b.url"))
+        .select(
+            F.least("a.url", "b.url").alias("url_a"),
+            F.greatest("a.url", "b.url").alias("url_b"),
+        )
+        .distinct()
+    )
+    if existing_pairs is not None:
+        # already-done exclusion (the MatchExcept anti-join, J4)
+        cands = cands.join(
+            existing_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
+        )
+    return new_sigs, verify_pairs(cands, all_sigs, cfg)
+
+
+def top_k_per_probe(pairs: DataFrame, k: int) -> DataFrame:
+    """Optional per-probe result cap — the reference truncates every ANN
+    query at limit=100 (QdrantRepository.cs:192, J7). Recall-unsafe, so OFF
+    by default (SURVEY.md §2.9 delta 4); exposed for parity."""
+    w = Window.partitionBy("url_a").orderBy(F.desc("score"), F.asc("url_b"))
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def minhash_pairs(
     reps: DataFrame, cfg: DedupConfig = CANONICAL, sigs: DataFrame | None = None
 ) -> DataFrame:
@@ -233,4 +377,7 @@ def minhash_pairs(
     if sigs is None:
         sigs = with_signatures(reps, cfg)
     cands = candidate_pairs(band_table(sigs, cfg), cfg)
-    return verify_pairs(cands, sigs, cfg)
+    confirmed = verify_pairs(cands, sigs, cfg)
+    if cfg.top_k_neighbors is not None:
+        confirmed = top_k_per_probe(confirmed, cfg.top_k_neighbors)
+    return confirmed

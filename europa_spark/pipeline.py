@@ -34,11 +34,10 @@ DEFAULT_METHODS = ("exact", "minhash", "substring")
 
 
 def load_documents(spark: SparkSession, source: str) -> DataFrame:
-    """Iceberg table name or parquet path/dir (catalog shim: no Iceberg jar
-    in the sandbox; `db.table` names go through the configured catalog)."""
-    if source.endswith(".parquet") or "/" in source:
-        return spark.read.parquet(source)
-    return spark.read.table(source)
+    """Iceberg table name or parquet path/dir via the catalog shim."""
+    from .catalog import load_table
+
+    return load_table(spark, source)
 
 
 def apply_filters(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -47,6 +46,8 @@ def apply_filters(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     out = docs
     if cfg.langs:
         out = out.filter(F.col("lang").isin(list(cfg.langs)))
+    if cfg.exclude_langs:
+        out = out.filter(~F.col("lang").isin(list(cfg.exclude_langs)))
     if cfg.min_bytes is not None or cfg.max_bytes is not None:
         size = F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
         if cfg.min_bytes is not None:
@@ -75,6 +76,10 @@ def run(
     filtered = apply_filters(docs, cfg)
     extracted = with_extracted(filtered)
     clean, quarantine = split_quarantine(extracted)
+    # every downstream branch (membership, reps/signatures, report, clusters)
+    # re-reads clean docs: materialize extraction ONCE instead of re-running
+    # the scan+regex chain per branch (3-4x redundant work otherwise)
+    clean = clean.localCheckpoint()
     quarantine = stage("quarantine", lambda: quarantine)
 
     hashed = with_content_hash(clean, cfg)

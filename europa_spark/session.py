@@ -40,7 +40,7 @@ def build_session(
         # decode(html,'UTF-8') must map invalid bytes to U+FFFD (FIXTURES.md §2
         # rule 2a); Spark 4 default is to raise MALFORMED_CHARACTER_CODING
         .config("spark.sql.legacy.codingErrorAction", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

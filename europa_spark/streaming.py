@@ -1,0 +1,130 @@
+"""Structured Streaming incremental dedup (SURVEY.md §2.8 extension).
+
+The reference's cross-run incrementality (Qdrant cache probes,
+SimilarImageFinder.cs:167-178,303-315) generalizes to continuous ingestion:
+``readStream`` over the documents directory -> ``foreachBatch`` incremental
+exact dedup against a persistent seen-content state table. Each micro-batch:
+
+  1. extract + content-hash the batch (same kernels as batch mode);
+  2. left-join the ``seen`` state (content_hash -> first url): hashes already
+     seen are emitted as duplicates of the original (J5 cache-hit shape);
+  3. first occurrence per new hash is appended to ``seen`` (A3 first-wins,
+     made deterministic by min-url within the batch);
+  4. intra-batch extra copies are emitted as duplicates too.
+
+State lives in plain parquet under ``state_dir`` (append-only `seen/`,
+append-only `dup_log/`), idempotent per batch id: a replayed batch
+(streaming checkpoint recovery) rewrites the same deterministic rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .exact import content_hash_col
+from .extract import split_quarantine, with_extracted
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def _seen_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "seen")
+
+
+def _dup_log_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "dup_log")
+
+
+def _read_seen(spark: SparkSession, state_dir: str) -> DataFrame:
+    p = _seen_path(state_dir)
+    try:
+        return spark.read.parquet(p)
+    except Exception:  # noqa: BLE001 — first batch: empty state
+        return spark.createDataFrame(
+            [], "content_hash string, first_url string"
+        )
+
+
+def process_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
+    spark = batch_df.sparkSession
+    clean, _ = split_quarantine(with_extracted(batch_df))
+    hashed = clean.select(
+        "url", content_hash_col().alias("content_hash")
+    ).localCheckpoint()
+
+    seen = _read_seen(spark, state_dir)
+    joined = hashed.join(
+        seen.withColumnRenamed("first_url", "seen_url"), "content_hash", "left"
+    ).localCheckpoint()
+
+    # cross-batch duplicates: hash already in state
+    cross = joined.filter(F.col("seen_url").isNotNull()).select(
+        "url",
+        F.col("seen_url").alias("duplicate_of"),
+        "content_hash",
+        F.lit(batch_id).alias("batch_id"),
+    )
+    # intra-batch: first (min url) wins among unseen hashes
+    unseen = joined.filter(F.col("seen_url").isNull())
+    firsts = unseen.groupBy("content_hash").agg(F.min("url").alias("first_url"))
+    intra = (
+        unseen.join(firsts, "content_hash")
+        .filter(F.col("url") != F.col("first_url"))
+        .select(
+            "url",
+            F.col("first_url").alias("duplicate_of"),
+            "content_hash",
+            F.lit(batch_id).alias("batch_id"),
+        )
+    )
+    dups = cross.unionByName(intra)
+    dups.write.mode("append").parquet(_dup_log_path(state_dir))
+    firsts.select("content_hash", "first_url").write.mode("append").parquet(
+        _seen_path(state_dir)
+    )
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+):
+    """availableNow streaming query: processes all files currently in
+    source_dir, then stops — call again after new files land (or switch the
+    trigger for continuous mode). Returns the StreamingQuery."""
+    os.makedirs(state_dir, exist_ok=True)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: process_batch(df, bid, state_dir)
+        )
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_stream_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dup_log(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.parquet(_dup_log_path(state_dir))

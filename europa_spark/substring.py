@@ -57,6 +57,56 @@ def _winnow_np(text: str, k: int, w: int) -> np.ndarray:
     return np.unique(windows.min(axis=1))
 
 
+_CHUNK_CHARS = 200_000  # keep the k-iteration rolling-hash loop cache-resident
+
+
+def _batch_winnow(texts: list[str], k: int, w: int) -> list[np.ndarray]:
+    """Chunked-batch twin of _winnow_np: the k-iteration rolling-hash loop
+    runs over concatenated row bytes in ~200 KB chunks — large enough to
+    amortize per-row numpy overhead, small enough to stay cache-resident
+    (a whole-batch array would be DRAM-bound through all k iterations).
+    Identical output to the per-row kernel (tested)."""
+    out: list[np.ndarray] = [None] * len(texts)  # type: ignore[list-item]
+    bs = [t.encode("utf-8") for t in texts]
+    i = 0
+    while i < len(bs):
+        j, chars = i, 0
+        while j < len(bs) and (chars == 0 or chars + len(bs[j]) <= _CHUNK_CHARS):
+            chars += len(bs[j])
+            j += 1
+        chunk = bs[i:j]
+        lens = np.fromiter((len(b) for b in chunk), dtype=np.int64, count=len(chunk))
+        total = int(lens.sum())
+        acc = None
+        if total >= k:
+            allb = np.frombuffer(b"".join(chunk), dtype=np.uint8).astype(_U64)
+            m_total = total - k + 1
+            acc = allb[0:m_total].copy()
+            for jj in range(1, k):
+                acc *= _ROLL_BASE
+                acc += allb[jj : jj + m_total]
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        for r, n in enumerate(lens):
+            n, s = int(n), int(starts[r])
+            if n == 0:
+                out[i + r] = np.empty(0, dtype=_U64)
+            elif n < k:
+                h = 0
+                for x in chunk[r]:
+                    h = (h * int(_ROLL_BASE) + int(x)) & 0xFFFFFFFFFFFFFFFF
+                out[i + r] = np.array([h], dtype=_U64)
+            else:
+                hrow = acc[s : s + n - k + 1]
+                if len(hrow) <= w:
+                    out[i + r] = np.unique(hrow[[int(np.argmin(hrow))]])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(hrow, w)
+                    out[i + r] = np.unique(win.min(axis=1))
+        i = j
+    return out
+
+
 def make_winnow_udf(cfg: DedupConfig = CANONICAL):
     from pyspark.sql.functions import pandas_udf
 
@@ -64,12 +114,8 @@ def make_winnow_udf(cfg: DedupConfig = CANONICAL):
 
     @pandas_udf(ArrayType(LongType()))
     def winnow_fingerprints(text: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _winnow_np(t if t is not None else "", k, w).view(np.int64).tolist()
-                for t in text
-            ]
-        )
+        arrs = _batch_winnow([t if t is not None else "" for t in text], k, w)
+        return pd.Series([a.view(np.int64).tolist() for a in arrs])
 
     return winnow_fingerprints
 
@@ -84,11 +130,21 @@ def substring_pairs(
     aggregation, exactly the LSH shape).
     """
     fp_udf = make_winnow_udf(cfg)
-    fps = reps.select(
-        "url", F.explode(fp_udf(F.col("extracted"))).alias("fp")
-    ).distinct()
+    # shuffle-volume optimization: the fingerprint relations carry a compact
+    # 8-byte doc key instead of the url string (~45 B); urls are restored by
+    # joining the small (uid, url) map onto the final pair rows only.
+    # (64-bit keys are collision-safe to ~10^9 docs per partition-job; the
+    # 10^12-scale deployment note in SURVEY.md §4 calls for a 128-bit key.)
+    keyed = reps.select(F.xxhash64("url").alias("uid"), "url", "extracted")
+    id_map = keyed.select("uid", "url")
+    # fingerprints are np.unique'd per doc inside the kernel, so (uid, fp)
+    # is already distinct — no dedup shuffle needed
+    fps = keyed.select(
+        "uid", F.explode(fp_udf(F.col("extracted"))).alias("fp")
+    )
     # stop-fingerprint cap: a fingerprint shared by thousands of docs is
-    # boilerplate, not evidence of a copied passage
+    # boilerplate, not evidence of a copied passage. Count shuffle carries
+    # fp only (column pruning) + map-side combine.
     rare = (
         fps.groupBy("fp")
         .count()
@@ -99,13 +155,20 @@ def substring_pairs(
     a, b = fps.alias("a"), fps.alias("b")
     votes = (
         a.join(b, "fp")
-        .filter(F.col("a.url") < F.col("b.url"))
-        .groupBy(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        .filter(F.col("a.uid") < F.col("b.uid"))
+        .groupBy(F.col("a.uid").alias("uid_a"), F.col("b.uid").alias("uid_b"))
         .agg(F.count("*").alias("votes"))
+        .filter(F.col("votes") >= cfg.substring_votes)
     )
-    return votes.filter(F.col("votes") >= cfg.substring_votes).select(
-        "url_a",
-        "url_b",
-        F.lit("substring").alias("method"),
-        F.col("votes").cast("double").alias("score"),
+    ma = id_map.select(F.col("uid").alias("uid_a"), F.col("url").alias("u_a"))
+    mb = id_map.select(F.col("uid").alias("uid_b"), F.col("url").alias("u_b"))
+    return (
+        votes.join(ma, "uid_a")
+        .join(mb, "uid_b")
+        .select(
+            F.least("u_a", "u_b").alias("url_a"),
+            F.greatest("u_a", "u_b").alias("url_b"),
+            F.lit("substring").alias("method"),
+            F.col("votes").cast("double").alias("score"),
+        )
     )

@@ -85,6 +85,37 @@ def test_ann_lsh_recall(spark, emb):
     assert recall >= 0.7, recall
 
 
+def test_embedding_dup_pairs_integer_predicate(spark, emb):
+    """The integer predicate must agree with the float cosine it encodes."""
+    import math
+
+    from europa_spark.ann import DUP_QUANT_SCALE, embedding_dup_pairs
+
+    got = embedding_dup_pairs(emb, threshold=0.9).collect()
+    rows = emb.collect()
+    q = {
+        r["vec_id"]: np.floor(np.array(r["embedding"], dtype=np.float64) * DUP_QUANT_SCALE).astype(np.int64)
+        for r in rows
+    }
+    found = set()
+    for r in got:
+        a, b = r["vec_id_a"], r["vec_id_b"]
+        assert a < b
+        qdot = int(q[a] @ q[b])
+        assert qdot == r["qdot"]
+        cos_q = qdot / math.sqrt(int(q[a] @ q[a]) * int(q[b] @ q[b]))
+        assert cos_q >= 0.9 - 1e-12
+        found.add((a, b))
+    # exhaustive check on a sample: no missed pair among first 80 vectors
+    ids = sorted(q)[:80]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            na, nb = int(q[a] @ q[a]), int(q[b] @ q[b])
+            d = int(q[a] @ q[b])
+            if d > 0 and d * d * 10000 >= 8100 * na * nb:
+                assert (a, b) in found, (a, b)
+
+
 def test_adapter_roundtrip(spark):
     docs = to_canonical(spark.read.parquet(f"{SF}/documents.parquet"))
     assert docs.schema.simpleString() == (
