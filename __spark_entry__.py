@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from europa_spark.adapters import URL_SQL, load_canonical, load_embeddings
 from europa_spark.ann import (
+    ann_ivf,
     ann_lsh,
     embedding_dup_pairs,
     embedding_dup_pairs_sql,
@@ -234,6 +235,54 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(load_embeddings(spark, sf_dir), threshold=0.9)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf(load_embeddings(spark, sf_dir), k=5)
+
+
+# --- multimodal: the testdata tables carry no media bytes, so the binary
+# column is constructed deterministically from the text (FAKE fixture format,
+# europa_spark.multimodal docstring) — the query then exercises the REAL
+# binary-column plumbing: magic-byte type cascade, metadata projection,
+# sha2-over-BINARY exact groups, mapInPandas decode+signature.
+# header kept printable-ASCII ('01','02' big-endian u16 dims) so the DuckDB
+# oracle can build the identical byte string in VARCHAR space (DuckDB 1.0's
+# sha256 has no BLOB overload)
+_FAKE_HEADER = b"FAKE0102"
+
+
+def _with_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _clean(spark, sf_dir)
+    return d.select(
+        "url",
+        F.concat(
+            F.lit(bytearray(_FAKE_HEADER)), F.encode(F.col("extracted"), "UTF-8")
+        ).alias("media"),
+    )
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from europa_spark.multimodal import with_media_metadata
+
+    return with_media_metadata(_with_media(spark, sf_dir)).select(
+        "url", "media_type", "n_bytes"
+    )
+
+
+def _q_media_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from europa_spark.multimodal import media_exact_dups
+
+    return media_exact_dups(_with_media(spark, sf_dir)).select(
+        "url", "media_hash", F.col("group_size").cast("long").alias("group_size"),
+        "group_id",
+    )
+
+
+def _q_media_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from europa_spark.multimodal import media_signatures
+
+    return media_signatures(_with_media(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_report": _q_exact_report,
@@ -254,7 +303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized": _q_knn_quantized,
         "knn_cosine": _q_knn_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dups,
+        "media_metadata": _q_media_metadata,
+        "media_exact_dups": _q_media_exact_dups,
+        "media_signatures": _q_media_signatures,
     }
 
 
@@ -276,6 +329,18 @@ s AS (
               ELSE [array_to_string(toks, chr(1))]
          END AS sh
   FROM t
+)
+"""
+
+
+# clean docs (quarantine excluded) + the constructed FAKE media blob — the
+# SQL twin of _with_media (header || utf8 text bytes)
+_MEDIA_CTE = f"""
+WITH d AS ({DOCS_SQL}),
+m AS (
+  SELECT url, 'FAKE0102' || text AS media
+  FROM d
+  WHERE text IS NOT NULL AND NOT regexp_matches(text, '^[ \t\n\r\f\x0B]*$')
 )
 """
 
@@ -352,4 +417,23 @@ WHERE text IS NULL OR regexp_matches(text, '^[ \t\n\r\f\x0B]*$')
 """,
         "knn_quantized": knn_exact_quantized_sql(k=5),
         "embedding_dup_pairs": embedding_dup_pairs_sql(threshold=0.9),
+        "media_metadata": _MEDIA_CTE
+        + r"""
+SELECT url,
+       CASE WHEN substr(media, 1, 4) = 'FAKE' THEN 'fake'
+            ELSE 'unknown' END AS media_type,
+       CAST(octet_length(encode(media)) AS BIGINT) AS n_bytes
+FROM m
+""",
+        "media_exact_dups": _MEDIA_CTE
+        + r"""
+, h AS (SELECT url, sha256(media) AS media_hash FROM m),
+g AS (
+  SELECT url, media_hash,
+         count(*) OVER (PARTITION BY media_hash) AS group_size,
+         min(url) OVER (PARTITION BY media_hash) AS group_id
+  FROM h
+)
+SELECT url, media_hash, group_size, group_id FROM g WHERE group_size > 1
+""",
     }

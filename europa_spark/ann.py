@@ -222,6 +222,88 @@ def knn_cosine(emb: DataFrame, k: int = 5) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(compute, out_schema)
 
 
+def ann_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k (the scale path next to ann_lsh): a coarse
+    quantizer of ``n_cells`` centroids partitions the corpus into inverted
+    lists; each query probes its ``n_probe`` nearest cells and scores exact
+    cosine only within them — the cell equi-join distributes exactly like an
+    LSH bucket join (and like Qdrant's HNSW-over-segments role,
+    QdrantRepository.cs:184-206).
+
+    Deterministic "training": centroids are the first ``n_cells`` vectors by
+    vec_id (a fixed sample in lieu of k-means; swapping in trained centroids
+    changes recall, not the plan shape). Index side assigns each vector to
+    its 1 nearest centroid; probe side fans each query to ``n_probe`` cells.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    cent_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
+    )
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Cn = C / cn[:, None]
+    b_cent = emb.sparkSession.sparkContext.broadcast(Cn)
+
+    def cells_udf(n: int):
+        @pandas_udf(ArrayType(LongType()))
+        def cells(embedding: pd.Series) -> pd.Series:
+            Cv = b_cent.value
+            M = np.array(embedding.tolist(), dtype=np.float64)
+            qn = np.linalg.norm(M, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (M / qn[:, None]) @ Cv.T  # (rows, n_cells) cosine to centroids
+            # top-n cells by similarity, deterministic ties by cell id
+            order = np.lexsort((np.broadcast_to(np.arange(sims.shape[1]), sims.shape), -sims), axis=1)
+            return pd.Series([row[:n].tolist() for row in order])
+
+        return cells
+
+    index = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.explode(cells_udf(1)(F.col("embedding"))).alias("cell"),
+    )
+    probes = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ea"),
+        F.explode(cells_udf(n_probe)(F.col("embedding"))).alias("cell"),
+    )
+    cands = (
+        probes.join(index, "cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = cands.withColumn(
+        "cosine", dot / (norm(F.col("ea")) * norm(F.col("eb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_lsh(
     emb: DataFrame,
     k: int = 5,

@@ -277,11 +277,18 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame
     connectivity is preserved through the bucket representative while work
     stays O(bucket) instead of O(bucket^2).
     """
-    w = Window.partitionBy("band_idx", "band_hash")
-    sized = bands.withColumn("bucket_n", F.count("*").over(w)).withColumn(
-        "bucket_min", F.min("url").over(w)
+    # bucket stats via hash aggregation (map-side partial combine), NOT a
+    # window: a window would shuffle+sort the full bands table, while the
+    # aggregate shuffles one compact row per distinct bucket and the filter
+    # drops the singleton buckets (the vast majority) before the join. AQE
+    # broadcasts the surviving stats when small.
+    stats = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("bucket_n"), F.min("url").alias("bucket_min"))
+        .filter(F.col("bucket_n") >= 2)
     )
-    normal = sized.filter(F.col("bucket_n").between(2, cfg.bucket_cap)).select(
+    sized = bands.join(stats, ["band_idx", "band_hash"])
+    normal = sized.filter(F.col("bucket_n") <= cfg.bucket_cap).select(
         "band_idx", "band_hash", "url"
     )
     a = normal.alias("a")
@@ -305,7 +312,18 @@ def verify_pairs(
 ) -> DataFrame:
     """Exact-Jaccard confirmation of candidates (J3). JVM-side set algebra on
     the stored shingle arrays — the pandas-UDF-free verify path."""
-    sh = sigs.select(F.col("url"), F.col("shingles"))
+    # candidate urls are a small fraction of the corpus (LSH radius-search
+    # selectivity), so semi-join-prune the WIDE shingle relation before the
+    # pair joins: the broadcast ships only urls, and the ~KB/row shingle
+    # arrays of non-candidates never enter a shuffle. (At scales where the
+    # candidate url set outgrows broadcast, drop the hint and let AQE plan
+    # the semi-join.)
+    needed = candidates.select(
+        F.explode(F.array("url_a", "url_b")).alias("url")
+    ).distinct()
+    sh = sigs.select(F.col("url"), F.col("shingles")).join(
+        F.broadcast(needed), "url", "left_semi"
+    )
     j = (
         candidates.join(sh.withColumnRenamed("url", "url_a").withColumnRenamed("shingles", "sh_a"), "url_a")
         .join(sh.withColumnRenamed("url", "url_b").withColumnRenamed("shingles", "sh_b"), "url_b")
@@ -375,7 +393,11 @@ def minhash_pairs(
 ) -> DataFrame:
     """Full near-dup path: representatives -> confirmed minhash pairs."""
     if sigs is None:
-        sigs = with_signatures(reps, cfg)
+        # the signature subtree is referenced by bands (stats + join) and
+        # verify (semi + 2 pair joins); without a shared relation Catalyst
+        # inlines the whole scan+UDF tree per reference (~20 scans observed).
+        # persist() collapses them into one InMemoryRelation computed once.
+        sigs = with_signatures(reps, cfg).persist()
     cands = candidate_pairs(band_table(sigs, cfg), cfg)
     confirmed = verify_pairs(cands, sigs, cfg)
     if cfg.top_k_neighbors is not None:

@@ -69,7 +69,13 @@ def run(
 
     def stage(name: str, compute):
         if store is None:
-            return compute()
+            # no checkpoint store: materialize each stage exactly once
+            # (localCheckpoint) — several stages are consumed by 2+ branches
+            # (sigs by bands + verify, pairs by components + output) and the
+            # expensive pandas-UDF kernels must not re-run per consumer. The
+            # store-backed path gets the same once-only semantics from the
+            # parquet write in get_or_compute.
+            return compute().localCheckpoint()
         df, _ = store.get_or_compute(spark, name, compute)
         return df
 
@@ -78,8 +84,12 @@ def run(
     clean, quarantine = split_quarantine(extracted)
     # every downstream branch (membership, reps/signatures, report, clusters)
     # re-reads clean docs: materialize extraction ONCE instead of re-running
-    # the scan+regex chain per branch (3-4x redundant work otherwise)
-    clean = clean.localCheckpoint()
+    # the scan+regex chain per branch (3-4x redundant work otherwise).
+    # Narrow FIRST — downstream only needs (url, warc_ts, extracted); keeping
+    # the html binary out of the checkpoint roughly halves the materialized
+    # bytes (column-pruning the block store, the in-memory analog of
+    # ReadSchema pruning on a checkpoint table).
+    clean = clean.select("url", "warc_ts", "extracted").localCheckpoint()
     quarantine = stage("quarantine", lambda: quarantine)
 
     hashed = with_content_hash(clean, cfg)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -84,8 +84,11 @@ def simhash_pairs(
     64 - 2*hamming (QdrantRepository.cs:240-247).
     """
     if sigs is None:
-        sigs = with_simhash(reps)
-    sigs = sigs.select("url", "simhash")
+        # shared by the band table and both hot/normal branches — persist so
+        # the scan+UDF subtree is computed once (see minhash_pairs note)
+        sigs = with_simhash(reps).select("url", "simhash").persist()
+    else:
+        sigs = sigs.select("url", "simhash")
     nb = cfg.simhash_bands
     width = 64 // nb
     mask = (1 << width) - 1
@@ -98,12 +101,16 @@ def simhash_pairs(
     bt = sigs.select("url", "simhash", F.posexplode(bands).alias("band_idx", "band_key"))
 
     # same hot-bucket star routing as the MinHash path (degenerate signatures
-    # — e.g. near-empty docs hashing to 0 — would otherwise explode)
-    w = Window.partitionBy("band_idx", "band_key")
-    sized = bt.withColumn("bucket_n", F.count("*").over(w)).withColumn(
-        "bucket_min", F.min("url").over(w)
+    # — e.g. near-empty docs hashing to 0 — would otherwise explode).
+    # Bucket stats via hash aggregation instead of a window: no full-table
+    # sort, singleton buckets dropped before the join (see minhash.py).
+    stats = (
+        bt.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("bucket_n"), F.min("url").alias("bucket_min"))
+        .filter(F.col("bucket_n") >= 2)
     )
-    normal = sized.filter(F.col("bucket_n").between(2, cfg.bucket_cap)).select(
+    sized = bt.join(stats, ["band_idx", "band_key"])
+    normal = sized.filter(F.col("bucket_n") <= cfg.bucket_cap).select(
         "band_idx", "band_key", "url", "simhash"
     )
     a, b = normal.alias("a"), normal.alias("b")

@@ -136,12 +136,18 @@ def substring_pairs(
     # (64-bit keys are collision-safe to ~10^9 docs per partition-job; the
     # 10^12-scale deployment note in SURVEY.md §4 calls for a 128-bit key.)
     keyed = reps.select(F.xxhash64("url").alias("uid"), "url", "extracted")
-    id_map = keyed.select("uid", "url")
+    # the winnow kernel is the expensive part and this DAG consumes the
+    # fingerprint relation three times (df-count branch + both self-join
+    # sides): materialize the compact (uid, url, fps) arrays once and explode
+    # JVM-side per consumer. With a checkpoint store this would be the
+    # fingerprints table; localCheckpoint is the in-session stand-in.
+    fp_arrays = keyed.select(
+        "uid", "url", fp_udf(F.col("extracted")).alias("fps")
+    ).localCheckpoint()
+    id_map = fp_arrays.select("uid", "url")
     # fingerprints are np.unique'd per doc inside the kernel, so (uid, fp)
     # is already distinct — no dedup shuffle needed
-    fps = keyed.select(
-        "uid", F.explode(fp_udf(F.col("extracted"))).alias("fp")
-    )
+    fps = fp_arrays.select("uid", F.explode("fps").alias("fp"))
     # stop-fingerprint cap: a fingerprint shared by thousands of docs is
     # boilerplate, not evidence of a copied passage. Count shuffle carries
     # fp only (column pruning) + map-side combine.

@@ -85,6 +85,27 @@ def test_ann_lsh_recall(spark, emb):
     assert recall >= 0.7, recall
 
 
+def test_ann_ivf_recall_and_shape(spark, emb):
+    """IVF probe path: decent recall@5 vs brute force, valid ranks, no
+    self-pairs, deterministic across invocations."""
+    from europa_spark.ann import ann_ivf
+
+    truth = {
+        (r["vec_id"], r["neighbor_id"]) for r in knn_cosine(emb, k=5).collect()
+    }
+    rows = ann_ivf(emb, k=5, n_cells=16, n_probe=6).collect()
+    got = {(r["vec_id"], r["neighbor_id"]) for r in rows}
+    assert all(a != b for a, b in got)
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+    recall = len(truth & got) / len(truth)
+    # near-uniform random embeddings are IVF's worst case (no cluster
+    # structure); 6/16 cells probed must still reach > 0.55
+    assert recall >= 0.55, recall
+    again = {(r["vec_id"], r["neighbor_id"]) for r in
+             ann_ivf(emb, k=5, n_cells=16, n_probe=6).collect()}
+    assert got == again
+
+
 def test_embedding_dup_pairs_integer_predicate(spark, emb):
     """The integer predicate must agree with the float cosine it encodes."""
     import math

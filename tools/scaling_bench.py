@@ -43,7 +43,16 @@ def timed_runs(cpus: int, corpus_dir: str, n_rows: int) -> list[float]:
         out = run(docs)
         out["report"].count()
         out["clusters"].count()
-        return time.time() - t0
+        wall = time.time() - t0
+        # run() materializes stages via localCheckpoint; drop the refs and
+        # let ContextCleaner unpersist the blocks so run N+1 doesn't measure
+        # run N's storage-memory pressure
+        del out
+        import gc
+
+        gc.collect()
+        time.sleep(2)
+        return wall
 
     once()  # warmup discarded (JIT + python-worker spawn)
     walls = [once() for _ in range(RUNS)]
