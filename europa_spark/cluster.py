@@ -40,6 +40,26 @@ def connected_components(
         )
     ).localCheckpoint()
 
+    # size the loop's shuffles to the graph, not the corpus: the pair graph
+    # is typically orders of magnitude smaller than the input (only dups have
+    # edges), and each round issues several shuffles — at the session-wide
+    # partition count the loop is pure scheduling overhead on small graphs
+    # (observed 13s for a 60k-edge graph at 64 partitions vs ~2s right-sized).
+    # ~1M edges per partition; floor 4, ceiling = session setting.
+    spark = pairs.sparkSession
+    n_edges = adj.count()  # cheap: materialized by the checkpoint above
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(4, min(session_parts, 1 + n_edges // 1_000_000))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _cc_loop(adj, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
+
     # init: label(v) = min(v, min neighbor)
     labels = (
         adj.groupBy(F.col("url_a").alias("url"))

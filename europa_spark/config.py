@@ -41,10 +41,15 @@ class DedupConfig:
     simhash_hamming_d: int = 3
     simhash_bands: int = 4               # 4 x 16-bit pigeonhole bands
 
-    # substring pass (winnowing; FIXTURES.md §3)
+    # substring pass (winnowing; FIXTURES.md §3). Density = 2/(w+1): w=128
+    # emits ~1 fingerprint per 64 chars instead of ~1 per 16 (4x fewer rows
+    # through every shuffle of the pass); any shared run >= k+w-1 = 191 chars
+    # still shares a fingerprint, and the planted >= 600-char blocks share
+    # >= floor((600-k+1)/w) = 4 >= votes. 64-bit fingerprints make random
+    # 3-vote collisions between unrelated docs effectively impossible.
     winnow_kgram: int = 64               # char k-grams
-    winnow_window: int = 32
-    substring_votes: int = 8             # shared fingerprints to call a pair
+    winnow_window: int = 128
+    substring_votes: int = 3             # shared fingerprints to call a pair
 
     # skew handling (north rule: explicit salting of hot LSH buckets)
     bucket_cap: int = 2000               # max rows per (band_idx, band_hash) bucket

@@ -160,39 +160,58 @@ def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_CHUNK_SHINGLES = 65_536  # 512 KB uint64 — L2-resident per worker
+
+
 def _minhash_of(
     arrs: list[np.ndarray],
     a: np.ndarray,
     b: np.ndarray,
     num_perm: int,
-    max_cells: int,
+    max_cells: int | None = None,  # kept for call-site compat; unused
 ) -> list[list[int]]:
-    """MinHash signatures for a list of shingle-hash arrays. Chunked so the
-    (num_perm x shingles) permutation matrix stays cache-friendly; mins via
-    a single np.minimum.reduceat pass per chunk."""
+    """MinHash signatures for a list of shingle-hash arrays.
+
+    Cache-resident by construction: permutations iterate OUTER over an
+    L2-sized shingle chunk, computing a_i*s + b_i into one reused 512 KB
+    buffer and reducing per-doc minima immediately. The naive (P x N)
+    permutation matrix (tens of MB per chunk + temporaries) is never
+    materialized — with 32 concurrent Python workers that matrix made the
+    kernel DRAM-bandwidth-bound and 8->32 cores ANTI-scaled ~3x; this
+    formulation keeps the whole working set in per-core cache. Output is
+    bit-identical to the matrix formulation (same uint64 arithmetic)."""
     out: list[list[int]] = []
     i = 0
+    buf = np.empty(_CHUNK_SHINGLES, dtype=_U64)
     while i < len(arrs):
         j, cells = i, 0
-        while j < len(arrs) and (cells == 0 or cells + len(arrs[j]) * num_perm <= max_cells):
-            cells += len(arrs[j]) * num_perm
+        while j < len(arrs) and (cells == 0 or cells + len(arrs[j]) <= _CHUNK_SHINGLES):
+            cells += len(arrs[j])
             j += 1
         chunk = arrs[i:j]
         nonempty = [c for c in chunk if len(c)]
         if nonempty:
             s = np.concatenate(nonempty)
-            x = a[:, None] * s[None, :] + b[:, None]              # uint64 wrap
+            n = len(s)
+            v = buf[:n] if n <= _CHUNK_SHINGLES else np.empty(n, dtype=_U64)
             offs = np.zeros(len(nonempty), dtype=np.int64)
             np.cumsum([len(c) for c in nonempty[:-1]], out=offs[1:])
-            mins = np.minimum.reduceat(x, offs, axis=1)           # (P, rows)
+            mins = np.empty((num_perm, len(nonempty)), dtype=_U64)
+            for p in range(num_perm):
+                np.multiply(s, a[p], out=v)
+                v += b[p]
+                mins[p] = np.minimum.reduceat(v, offs)
         mi = 0
         for c in chunk:
             if len(c) == 0:
                 # degenerate signature — quarantined upstream, but keep a
                 # deterministic sentinel rather than exploding
-                out.append([np.iinfo(np.int64).max] * num_perm)
+                out.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64))
             else:
-                out.append(mins[:, mi].view(np.int64).tolist())
+                # ndarray, not list: Arrow's ndarray fast path skips
+                # per-element PyObject conversion (num_perm boxed ints per
+                # row otherwise — tens of millions per 100k docs)
+                out.append(np.ascontiguousarray(mins[:, mi]).view(np.int64))
                 mi += 1
         i = j
     return out
@@ -213,7 +232,7 @@ def make_minhash_udf(cfg: DedupConfig = CANONICAL):
             else np.empty(0, dtype=_U64)
             for s in shingles
         ]
-        return pd.Series(_minhash_of(arrs, a, b, num_perm, max_cells))
+        return pd.Series(_minhash_of(arrs, a, b, num_perm, max_cells), dtype=object)
 
     return minhash_sig
 
@@ -232,10 +251,11 @@ def make_signature_udf(cfg: DedupConfig = CANONICAL):
     def signature(text: pd.Series) -> pd.DataFrame:
         arrs = _batch_shingle_hashes([t if t is not None else "" for t in text], k)
         mins = _minhash_of(arrs, a, b, num_perm, max_cells)
+        # ndarray values: Arrow's fast path, no per-element int boxing
         return pd.DataFrame(
             {
-                "shingles": [x.view(np.int64).tolist() for x in arrs],
-                "minhash": mins,
+                "shingles": pd.Series([x.view(np.int64) for x in arrs], dtype=object),
+                "minhash": pd.Series(mins, dtype=object),
             }
         )
 
@@ -398,7 +418,10 @@ def minhash_pairs(
         # inlines the whole scan+UDF tree per reference (~20 scans observed).
         # persist() collapses them into one InMemoryRelation computed once.
         sigs = with_signatures(reps, cfg).persist()
-    cands = candidate_pairs(band_table(sigs, cfg), cfg)
+    # cands is consumed three times in verify (the url prune + both pair
+    # joins); it is small (LSH selectivity) — persist so the band self-join
+    # runs once instead of per consumer
+    cands = candidate_pairs(band_table(sigs, cfg), cfg).persist()
     confirmed = verify_pairs(cands, sigs, cfg)
     if cfg.top_k_neighbors is not None:
         confirmed = top_k_per_probe(confirmed, cfg.top_k_neighbors)

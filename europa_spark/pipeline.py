@@ -67,15 +67,34 @@ def run(
     'clusters', 'report'} DataFrames."""
     spark = docs.sparkSession
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = _os.environ.get("EUROPA_STAGE_TIMING") == "1"
+
     def stage(name: str, compute):
+        _t0 = _time.time()
+        try:
+            return _stage(name, compute)
+        finally:
+            if _timing:
+                print(f"STAGE {name}: {_time.time()-_t0:.2f}s",
+                      file=_sys.stderr, flush=True)
+
+    def _stage(name: str, compute):
         if store is None:
-            # no checkpoint store: materialize each stage exactly once
-            # (localCheckpoint) — several stages are consumed by 2+ branches
-            # (sigs by bands + verify, pairs by components + output) and the
-            # expensive pandas-UDF kernels must not re-run per consumer. The
-            # store-backed path gets the same once-only semantics from the
-            # parquet write in get_or_compute.
-            return compute().localCheckpoint()
+            # no checkpoint store: materialize each stage exactly once —
+            # several stages are consumed by 2+ branches (sigs by bands +
+            # verify, pairs by components + output) and the expensive
+            # pandas-UDF kernels must not re-run per consumer. persist()
+            # (columnar, compressed) over localCheckpoint (deserialized row
+            # blocks): severalfold less storage memory, so a full pipeline
+            # run doesn't GC-thrash the JVM. The store-backed path gets the
+            # same once-only semantics from the parquet write.
+            df = compute().persist()
+            df.count()
+            return df
         df, _ = store.get_or_compute(spark, name, compute)
         return df
 
@@ -89,8 +108,13 @@ def run(
     # the html binary out of the checkpoint roughly halves the materialized
     # bytes (column-pruning the block store, the in-memory analog of
     # ReadSchema pruning on a checkpoint table).
-    clean = clean.select("url", "warc_ts", "extracted").localCheckpoint()
-    quarantine = stage("quarantine", lambda: quarantine)
+    clean = clean.select("url", "warc_ts", "extracted").persist()
+    clean.count()
+    # quarantine stays lazy without a store: it is an output, not an input
+    # of any later stage — eager materialization would bill a full extra
+    # extract pass to every pipeline run that never reads it
+    if store is not None:
+        quarantine = stage("quarantine", lambda: quarantine)
 
     hashed = with_content_hash(clean, cfg)
     membership = stage(
@@ -105,7 +129,14 @@ def run(
         # signatures are the expensive stage — checkpoint them so a resumed
         # run skips straight to pairing (J5 cache-hit semantics)
         if "minhash" in methods:
-            sigs = stage("signatures", lambda: with_signatures(reps, cfg))
+            # narrow to the signature columns: extracted rides on reps and
+            # would otherwise be persisted twice (clean + sigs)
+            sigs = stage(
+                "signatures",
+                lambda: with_signatures(reps, cfg).select(
+                    "url", "shingles", "minhash"
+                ),
+            )
             pair_frames.append(
                 stage("pairs_minhash", lambda: minhash_pairs(reps, cfg, sigs=sigs))
             )

@@ -36,6 +36,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # scan parallelism: the CPU-heavy extract/signature chain runs on
+        # scan-derived partitions, and the test corpora are single parquet
+        # files — at the default 128 MB an 800 MB file yields ~6 tasks and
+        # caps every core count at the same parallelism. 32 MB keeps ~1 task
+        # per row group here; a multi-TB deployment with thousands of input
+        # files should raise this back to 128m.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         .config("spark.sql.session.timeZone", "UTC")
         # decode(html,'UTF-8') must map invalid bytes to U+FFFD (FIXTURES.md §2
         # rule 2a); Spark 4 default is to raise MALFORMED_CHARACTER_CODING

@@ -57,7 +57,10 @@ def _winnow_np(text: str, k: int, w: int) -> np.ndarray:
     return np.unique(windows.min(axis=1))
 
 
-_CHUNK_CHARS = 200_000  # keep the k-iteration rolling-hash loop cache-resident
+# 64 KB chunks: the rolling-hash accumulator + byte buffer stay ~1 MB
+# (L2-resident) per worker — at 200 KB the combined working set of 32
+# concurrent workers overflowed shared L3 and the kernel went DRAM-bound
+_CHUNK_CHARS = 65_536
 
 
 def _batch_winnow(texts: list[str], k: int, w: int) -> list[np.ndarray]:
@@ -115,7 +118,8 @@ def make_winnow_udf(cfg: DedupConfig = CANONICAL):
     @pandas_udf(ArrayType(LongType()))
     def winnow_fingerprints(text: pd.Series) -> pd.Series:
         arrs = _batch_winnow([t if t is not None else "" for t in text], k, w)
-        return pd.Series([a.view(np.int64).tolist() for a in arrs])
+        # ndarray values: Arrow's fast path, no per-element int boxing
+        return pd.Series([a.view(np.int64) for a in arrs], dtype=object)
 
     return winnow_fingerprints
 
@@ -143,7 +147,7 @@ def substring_pairs(
     # fingerprints table; localCheckpoint is the in-session stand-in.
     fp_arrays = keyed.select(
         "uid", "url", fp_udf(F.col("extracted")).alias("fps")
-    ).localCheckpoint()
+    ).persist()
     id_map = fp_arrays.select("uid", "url")
     # fingerprints are np.unique'd per doc inside the kernel, so (uid, fp)
     # is already distinct — no dedup shuffle needed

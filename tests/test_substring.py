@@ -14,23 +14,27 @@ from europa_spark.substring import _winnow_np, substring_pairs
 
 def test_winnow_guarantee():
     """Any shared substring >= k + w - 1 chars must share >= 1 fingerprint;
-    our 600+ char planted blocks must clear the 8-vote threshold."""
+    our 600+ char planted blocks must clear the vote threshold at the
+    canonical (k=64, w=128, votes=3) config."""
+    from europa_spark.config import CANONICAL
+
+    k, w = CANONICAL.winnow_kgram, CANONICAL.winnow_window
     rng = np.random.default_rng(1)
     alpha = "abcdefghij "
     a = "".join(rng.choice(list(alpha), 3000))
     b = "".join(rng.choice(list(alpha), 1200))
     shared = a[1000:1700]  # 700 chars
     c = b[:600] + shared + b[600:]
-    fa = set(_winnow_np(a, 64, 32).tolist())
-    fc = set(_winnow_np(c, 64, 32).tolist())
-    assert len(fa & fc) >= 8, len(fa & fc)
+    fa = set(_winnow_np(a, k, w).tolist())
+    fc = set(_winnow_np(c, k, w).tolist())
+    assert len(fa & fc) >= CANONICAL.substring_votes, len(fa & fc)
 
 
 def test_winnow_determinism_and_short_docs():
-    assert _winnow_np("", 64, 32).size == 0
-    assert _winnow_np("short", 64, 32).size == 1
-    x = _winnow_np("hello world " * 50, 64, 32)
-    y = _winnow_np("hello world " * 50, 64, 32)
+    assert _winnow_np("", 64, 128).size == 0
+    assert _winnow_np("short", 64, 128).size == 1
+    x = _winnow_np("hello world " * 50, 64, 128)
+    y = _winnow_np("hello world " * 50, 64, 128)
     assert (x == y).all()
 
 
