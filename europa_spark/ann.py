@@ -182,6 +182,119 @@ WHERE qdot > 0 AND qdot * qdot * 10000 >= {t_num * t_num} * na * nb
 """
 
 
+def _hyperplane_buckets_udf(dim: int, n_tables: int, n_bits: int, seed: int):
+    """Random-hyperplane LSH bucket ids (one per table), generated from the
+    seed inside the UDF so the plan ships no driver state."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(embedding: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        H = rng.standard_normal((n_tables * n_bits, dim))
+        M = np.array(embedding.tolist(), dtype=np.float64)
+        signs = (M @ H.T) >= 0  # (n, T*B)
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        bs = signs.reshape(len(M), n_tables, n_bits) @ weights  # (n, T)
+        table_off = np.arange(n_tables, dtype=np.int64) << 32
+        return pd.Series(list(bs + table_off[None, :]))
+
+    return buckets
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 24,
+    n_bits: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-duplicate pairs: hyperplane-LSH bucket
+    equi-join for candidates, integer-quantized exact verify JVM-side —
+    no driver collect, no O(n^2) crossJoin, same bucketed-join distribution
+    story as the text LSH (minhash.py candidate_pairs).
+
+    Emits EXACTLY the brute-force integer predicate's rows (cos_q >= t via
+    qdot^2*10000 >= t_num^2*na*nb) provided candidate recall is 1.0 at the
+    chosen (n_tables, n_bits) — asserted against embedding_dup_pairs_sql in
+    tests and the driver gate. Output matches embedding_dup_pairs:
+    (vec_id_a < vec_id_b, qdot, na, nb) all BIGINT.
+    """
+    t_num = int(round(threshold * 100))
+    dim = len(emb.select("embedding").first()["embedding"])
+    buckets = _hyperplane_buckets_udf(dim, n_tables, n_bits, seed)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * DUP_QUANT_SCALE).cast("long")
+        ).alias("qv"),
+        F.explode(buckets(F.col("embedding"))).alias("bucket"),
+    )
+    a = q.select(F.col("vec_id").alias("vec_id_a"), F.col("qv").alias("qa"), "bucket")
+    b = q.select(F.col("vec_id").alias("vec_id_b"), F.col("qv").alias("qb"), "bucket")
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq_norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cands.select(
+        "vec_id_a", "vec_id_b",
+        qdot.alias("qdot"),
+        sq_norm(F.col("qa")).alias("na"),
+        sq_norm(F.col("qb")).alias("nb"),
+    )
+    return scored.filter(
+        (F.col("qdot") > 0)
+        & (F.col("qdot") * F.col("qdot") * F.lit(10000)
+           >= F.lit(t_num * t_num) * F.col("na") * F.col("nb"))
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    sample_size: int = 4096,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded mini k-means for the IVF coarse quantizer: a deterministic
+    sample (xxhash64 order, bounded driver memory) trained with Lloyd
+    iterations on L2-normalized vectors (spherical k-means, cosine metric).
+    At 100 TB the sample stays the same size — training cost is independent
+    of corpus scale; only the assignment pass distributes."""
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    n = np.linalg.norm(X, axis=1)
+    n[n == 0] = 1.0
+    X = X / n[:, None]
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = np.zeros_like(C)
+        for c in range(k):
+            members = X[assign == c]
+            newC[c] = members.mean(axis=0) if len(members) else X[rng.integers(len(X))]
+        norms = np.linalg.norm(newC, axis=1)
+        norms[norms == 0] = 1.0
+        C = newC / norms[:, None]
+    return C
+
+
 def knn_cosine(emb: DataFrame, k: int = 5) -> DataFrame:
     """Exact cosine top-k via numpy against a broadcast matrix (the
     brute-force baseline; Arrow-batched, no per-row Python)."""
@@ -235,21 +348,15 @@ def ann_ivf(
     LSH bucket join (and like Qdrant's HNSW-over-segments role,
     QdrantRepository.cs:184-206).
 
-    Deterministic "training": centroids are the first ``n_cells`` vectors by
-    vec_id (a fixed sample in lieu of k-means; swapping in trained centroids
-    changes recall, not the plan shape). Index side assigns each vector to
-    its 1 nearest centroid; probe side fans each query to ``n_probe`` cells.
+    Training: seeded sample + spherical k-means (``kmeans_centroids``) —
+    deterministic, bounded driver memory, corpus-size-independent cost.
+    Index side assigns each vector to its 1 nearest centroid; probe side
+    fans each query to ``n_probe`` cells.
     """
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    cent_rows = (
-        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
-    )
-    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0] = 1.0
-    Cn = C / cn[:, None]
+    Cn = kmeans_centroids(emb, n_cells)
     b_cent = emb.sparkSession.sparkContext.broadcast(Cn)
 
     def cells_udf(n: int):
@@ -317,22 +424,7 @@ def ann_lsh(
     # hyperplanes are generated lazily inside the UDF from the seed, so the
     # plan ships no data — mirrors 'no driver-side state'
     dim = len(emb.select("embedding").first()["embedding"])
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
-    @pandas_udf(ArrayType(LongType()))
-    def buckets(embedding: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        H = rng.standard_normal((n_tables * n_bits, dim))
-        M = np.array(embedding.tolist(), dtype=np.float64)
-        signs = (M @ H.T) >= 0  # (n, T*B)
-        weights = (1 << np.arange(n_bits, dtype=np.int64))
-        out = []
-        for row in signs:
-            bs = row.reshape(n_tables, n_bits) @ weights
-            # offset buckets per table so tables don't collide
-            out.append([int(t << 32 | int(b)) for t, b in enumerate(bs)])
-        return pd.Series(out)
+    buckets = _hyperplane_buckets_udf(dim, n_tables, n_bits, seed)
 
     with_b = emb.select(
         "vec_id", "embedding", F.explode(buckets(F.col("embedding"))).alias("bucket")

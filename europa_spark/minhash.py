@@ -292,10 +292,16 @@ def band_table(sigs: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
     """Distinct candidate (url_a < url_b) pairs from band collisions.
 
-    Buckets <= bucket_cap: all-pairs equi self-join (J2). Oversized buckets:
-    linear star edges to the bucket minimum — explicit skew cap (north rule);
-    connectivity is preserved through the bucket representative while work
-    stays O(bucket) instead of O(bucket^2).
+    Buckets <= bucket_cap: all-pairs equi self-join (J2). Oversized buckets
+    (explicit skew cap, north rule) are SALTED into ceil(n/cap) sub-buckets
+    of ~cap members with all-pairs inside each salt, PLUS linear star edges
+    to the bucket minimum. Work per hot bucket is O(n * cap) instead of
+    O(n^2). Recall: mutually-similar members that are NOT similar to the
+    bucket min keep their direct edge whenever they share a salt (and any
+    other band); the star edges keep whole-bucket connectivity through the
+    representative. Residual loss — a similar pair whose EVERY shared band
+    is hot and salted apart — is the documented trade vs the reference's
+    unbounded radius search (adversarial fixture: tests/test_minhash.py).
     """
     # bucket stats via hash aggregation (map-side partial combine), NOT a
     # window: a window would shuffle+sort the full bands table, while the
@@ -317,14 +323,22 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame
         F.col("a.url") < F.col("b.url")
     ).select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
 
-    hot_pairs = (
-        sized.filter(
-            (F.col("bucket_n") > cfg.bucket_cap)
-            & (F.col("url") != F.col("bucket_min"))
-        )
-        .select(F.col("bucket_min").alias("url_a"), F.col("url").alias("url_b"))
+    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.bucket_cap)).cast("int")
+    hot = sized.filter(F.col("bucket_n") > cfg.bucket_cap).select(
+        "band_idx", "band_hash", "url", "bucket_min",
+        F.pmod(F.xxhash64("url", "band_idx", "band_hash"), n_salts).alias("salt"),
     )
-    return normal_pairs.unionByName(hot_pairs).distinct()
+    hot_star = hot.filter(F.col("url") != F.col("bucket_min")).select(
+        F.col("bucket_min").alias("url_a"), F.col("url").alias("url_b")
+    )
+    ha = hot.select("band_idx", "band_hash", "salt", "url").alias("ha")
+    hb = hot.select("band_idx", "band_hash", "salt", "url").alias("hb")
+    hot_salt_pairs = (
+        ha.join(hb, ["band_idx", "band_hash", "salt"])
+        .filter(F.col("ha.url") < F.col("hb.url"))
+        .select(F.col("ha.url").alias("url_a"), F.col("hb.url").alias("url_b"))
+    )
+    return normal_pairs.unionByName(hot_star).unionByName(hot_salt_pairs).distinct()
 
 
 def verify_pairs(
@@ -409,19 +423,29 @@ def top_k_per_probe(pairs: DataFrame, k: int) -> DataFrame:
 
 
 def minhash_pairs(
-    reps: DataFrame, cfg: DedupConfig = CANONICAL, sigs: DataFrame | None = None
+    reps: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    sigs: DataFrame | None = None,
+    registry: list | None = None,
 ) -> DataFrame:
-    """Full near-dup path: representatives -> confirmed minhash pairs."""
+    """Full near-dup path: representatives -> confirmed minhash pairs.
+
+    ``registry``: optional list collecting every DataFrame persisted here so
+    the caller can unpersist them when done (pipeline.run's release())."""
     if sigs is None:
         # the signature subtree is referenced by bands (stats + join) and
         # verify (semi + 2 pair joins); without a shared relation Catalyst
         # inlines the whole scan+UDF tree per reference (~20 scans observed).
         # persist() collapses them into one InMemoryRelation computed once.
         sigs = with_signatures(reps, cfg).persist()
+        if registry is not None:
+            registry.append(sigs)
     # cands is consumed three times in verify (the url prune + both pair
     # joins); it is small (LSH selectivity) — persist so the band self-join
     # runs once instead of per consumer
     cands = candidate_pairs(band_table(sigs, cfg), cfg).persist()
+    if registry is not None:
+        registry.append(cands)
     confirmed = verify_pairs(cands, sigs, cfg)
     if cfg.top_k_neighbors is not None:
         confirmed = top_k_per_probe(confirmed, cfg.top_k_neighbors)

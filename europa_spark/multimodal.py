@@ -1,4 +1,5 @@
-"""Multimodal column plumbing — image/audio/video as opaque BINARY columns.
+"""Multimodal column plumbing — image/audio/video as opaque BINARY columns,
+with the reference's three perceptual-hash algorithms implemented for real.
 
 The reference's media pipeline is: type-identify -> decode -> canonicalize
 -> signature (SimilarImageFinder.cs:122-218 with the processor cascade,
@@ -7,21 +8,35 @@ LibRawImageProcessor.cs). On Spark the same shape is: a typed-metadata
 projection + Arrow-batched ``mapInPandas`` feature extraction over a
 ``media BINARY`` column.
 
-The image/audio codec libraries are NOT in this container, so the decode
-step is STUBBED: ``decode_media`` parses a deterministic fake header (our
-fixture format) and ``NotImplementedError`` is raised for real codecs. The
-Spark-side plumbing — schema, batch iteration, partitioning, signature
-join-ability — is real and tested; swapping in PIL/libvips later only
-replaces the numpy body of ``_decode_bytes``.
+Only the CODEC is stubbed (the image/audio codec libraries are not in this
+container): ``_decode_bytes`` parses a deterministic fake header (our fixture
+format) into a (width, height, grayscale grid) and raises
+``NotImplementedError`` for real codecs. Everything downstream of the decode
+is the real algorithm math over that grid:
 
-Fake media format (deterministic, used by tests):
-  b"FAKE" + width(u16 be) + height(u16 be) + payload bytes
+  * dHash-64      — 8x9 area-mean resize, adjacent-pixel gradient bits
+                    (Api/Implementations/SimilarImages/ImageHashes/
+                    DifferenceHash.cs:20-46);
+  * pHash-64      — 32x32 area-mean resize, 2-D DCT-II, top-left 8x8
+                    low-frequency block thresholded at its median
+                    (PerceptualHash.cs:64-120);
+  * block-mean-961 — 256x256 resize, 16x16 blocks at stride 8 (the
+                    overlapping "mode 1"), each block mean thresholded at
+                    the median of all 961 block means
+                    (BlockMeanHash.cs:46-99).
+
+Swapping in PIL/libvips later only replaces the body of ``_decode_bytes``.
+
+Fake media format (deterministic, used by tests and the gated queries):
+  b"FAKE" + width(2 ASCII decimal digits) + height(2 ASCII digits) + payload
+The all-printable header lets the DuckDB oracle rebuild the byte-identical
+blob in VARCHAR space (DuckDB 1.0's sha256 has no BLOB overload). The
+payload is tiled/truncated to exactly width*height bytes and read row-major
+as an 8-bit grayscale image.
 """
 
 from __future__ import annotations
 
-import hashlib
-import struct
 from typing import Iterator
 
 import numpy as np
@@ -30,28 +45,127 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MEDIA_SCHEMA = (
-    "url string, media binary, media_type string, width int, height int, "
-    "n_bytes long"
-)
-
-SIG_DIM = 64
+from .config import DedupConfig
+from .simhash import simhash_pairs
 
 
 def make_fake_media(width: int, height: int, payload: bytes) -> bytes:
-    return b"FAKE" + struct.pack(">HH", width, height) + payload
+    if not (1 <= width <= 99 and 1 <= height <= 99):
+        raise ValueError("fake media dims must be in [1, 99]")
+    return f"FAKE{width:02d}{height:02d}".encode("ascii") + payload
 
 
 def _decode_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
-    """Stub decoder. Real deployment: PIL/libvips/ffmpeg body here."""
+    """Stub codec. Real deployment: PIL/libvips/ffmpeg body here, returning
+    the same (width, height, float64 grayscale grid) contract."""
     if b[:4] == b"FAKE":
-        w, h = struct.unpack(">HH", b[4:8])
+        try:
+            w, h = int(b[4:6]), int(b[6:8])
+        except ValueError:
+            raise NotImplementedError("malformed fake image header") from None
+        if w == 0 or h == 0:
+            raise NotImplementedError("degenerate fake image dimensions")
         payload = np.frombuffer(b[8:], dtype=np.uint8)
-        return w, h, payload
+        need = w * h
+        if len(payload) == 0:
+            payload = np.zeros(need, dtype=np.uint8)
+        elif len(payload) < need:  # deterministic tile-fill
+            payload = np.tile(payload, need // len(payload) + 1)[:need]
+        else:
+            payload = payload[:need]
+        return int(w), int(h), payload.reshape(h, w).astype(np.float64)
     raise NotImplementedError(
         "real image/audio codecs are not available in this container; "
         "only the FAKE fixture format decodes (see module docstring)"
     )
+
+
+def _resize_area(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic area-mean resize (downscale) / nearest resize (upscale),
+    per axis — the canonicalization step every perceptual hash runs first
+    (MagicScalerImageProcessor.cs:50-98 resamples to the hash's input size)."""
+
+    def _axis(a: np.ndarray, target: int, axis: int) -> np.ndarray:
+        n = a.shape[axis]
+        if n == target:
+            return a
+        if n < target:  # upscale: nearest sampling
+            idx = (np.arange(target) * n) // target
+            return np.take(a, idx, axis=axis)
+        edges = np.floor(np.arange(target + 1) * n / target).astype(np.int64)
+        csum = np.concatenate(
+            [np.zeros_like(np.take(a, [0], axis=axis)), np.cumsum(a, axis=axis)],
+            axis=axis,
+        )
+        hi = np.take(csum, edges[1:], axis=axis)
+        lo = np.take(csum, edges[:-1], axis=axis)
+        widths = (edges[1:] - edges[:-1]).astype(np.float64)
+        shape = [1, 1]
+        shape[axis] = target
+        return (hi - lo) / widths.reshape(shape)
+
+    return _axis(_axis(img, th, 0), tw, 1)
+
+
+def _pack_bits_u64(bits: np.ndarray) -> int:
+    """64 bool bits (bit i = 2^i) -> signed int64 (Spark LongType)."""
+    v = int.from_bytes(
+        np.packbits(bits.astype(np.uint8), bitorder="little").tobytes(), "little"
+    )
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash (DifferenceHash.cs:20-46): resize to 8 rows x 9 cols,
+    bit = pixel brighter than its right neighbor, row-major 64 bits."""
+    g = _resize_area(img, 8, 9)
+    return _pack_bits_u64((g[:, 1:] > g[:, :-1]).reshape(64))
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        x = np.arange(n, dtype=np.float64)
+        u = x[:, None]
+        C = np.cos((2 * x[None, :] + 1) * u * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+        C[0] /= np.sqrt(2.0)
+        _DCT32 = C
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> int:
+    """Perceptual hash (PerceptualHash.cs:64-120): 32x32 resize, 2-D DCT-II,
+    keep the top-left 8x8 low-frequency block, bit = coefficient above the
+    median of the 64 coefficients excluding DC."""
+    g = _resize_area(img, 32, 32)
+    C = _dct_matrix(32)
+    D = C @ g @ C.T
+    block = D[:8, :8].reshape(64)
+    med = np.median(block[1:])
+    return _pack_bits_u64(block > med)
+
+
+BLOCKMEAN_BITS = 961  # 31*31 overlapping 16x16 blocks at stride 8
+
+
+def blockmean_hash(img: np.ndarray) -> bytes:
+    """Block-mean hash, overlapping mode (BlockMeanHash.cs:46-99): 256x256
+    resize, 16x16 blocks at stride 8 (31x31 = 961 blocks), bit = block mean
+    above the median of all block means. Returns 121 packed bytes."""
+    g = _resize_area(img, 256, 256)
+    csum = np.zeros((257, 257))
+    csum[1:, 1:] = g.cumsum(0).cumsum(1)
+    pos = np.arange(31) * 8  # block top-left corners
+    hi, lo = pos + 16, pos
+    means = (
+        csum[np.ix_(hi, hi)] - csum[np.ix_(hi, lo)]
+        - csum[np.ix_(lo, hi)] + csum[np.ix_(lo, lo)]
+    ).reshape(BLOCKMEAN_BITS) / 256.0
+    bits = means > np.median(means)
+    return np.packbits(bits.astype(np.uint8), bitorder="little").tobytes()
 
 
 def with_media_metadata(df: DataFrame) -> DataFrame:
@@ -69,41 +183,67 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def media_signatures(df: DataFrame) -> DataFrame:
-    """Decode + canonicalize + signature over Arrow batches (the H3->H4
-    pipeline shape): returns (url, width, height, sig ARRAY<FLOAT>).
+SIG_SCHEMA = (
+    "url string, width int, height int, dhash long, phash long, "
+    "blockmean string"
+)
 
-    The stub signature is a deterministic 64-d feature from the payload's
-    byte histogram — structurally identical to a real perceptual embedding
-    (fixed dim, L2-normalized) so downstream ANN plumbing (europa_spark.ann)
-    composes with it unchanged.
+
+def media_signatures(df: DataFrame) -> DataFrame:
+    """Decode + canonicalize + all three perceptual hashes over Arrow batches
+    (the H3->H4/H5/H6 pipeline shape). Undecodable media is skipped (the
+    quarantine route, SimilarImageFinder.cs:257-263).
+
+    Returns (url, width, height, dhash LONG, phash LONG, blockmean STRING):
+    scalar columns only, so results group/join/hash cleanly downstream.
     """
-    out_schema = (
-        "url string, width int, height int, sig array<float>"
-    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, blob in zip(pdf["url"], pdf["media"]):
                 try:
-                    w, h, payload = _decode_bytes(bytes(blob))
+                    w, h, grid = _decode_bytes(bytes(blob))
                 except NotImplementedError:
                     continue  # quarantine path: undecodable media skipped
-                hist = np.bincount(payload % SIG_DIM, minlength=SIG_DIM).astype(
-                    np.float32
+                rows.append(
+                    (
+                        url, w, h,
+                        dhash64(grid),
+                        phash64(grid),
+                        blockmean_hash(grid).hex(),
+                    )
                 )
-                n = float(np.linalg.norm(hist))
-                sig = (hist / n if n else hist).tolist()
-                rows.append((url, int(w), int(h), sig))
-            yield pd.DataFrame(rows, columns=["url", "width", "height", "sig"])
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "width", "height", "dhash", "phash", "blockmean"],
+            )
 
-    return df.select("url", "media").mapInPandas(compute, out_schema)
+    return df.select("url", "media").mapInPandas(compute, SIG_SCHEMA)
+
+
+def media_phash_pairs(sigs: DataFrame, hamming_d: int = 7) -> DataFrame:
+    """Perceptual near-duplicate pairs within a pHash Hamming radius — the
+    SimilarImageFinder radius search (SimilarImageFinder.cs:280-330) over the
+    64-bit signature, reusing the pigeonhole band machinery from the SimHash
+    path (guaranteed recall for bands >= d+1, same hot-bucket handling).
+
+    ``sigs`` is the media_signatures output; returns (url_a, url_b, method,
+    score) with score = (64 - hamming) / 64.
+    """
+    cfg = DedupConfig(simhash_hamming_d=hamming_d, simhash_bands=8)
+    pairs = simhash_pairs(
+        None, cfg, sigs=sigs.select("url", F.col("phash").alias("simhash"))
+    )
+    return pairs.select(
+        "url_a", "url_b", F.lit("phash").alias("method"), "score"
+    )
 
 
 def media_exact_dups(df: DataFrame) -> DataFrame:
     """Byte-identical media groups — the Blake3 exact pipeline applied to a
-    binary column (sha2 works on BINARY directly)."""
+    binary column (sha2 works on BINARY directly;
+    DuplicateByHashFinder.cs:29-77)."""
     hashed = df.select(
         "url", F.sha2(F.col("media"), 256).alias("media_hash")
     )

@@ -27,6 +27,7 @@ from .config import DedupConfig, CANONICAL
 from .exact import exact_pairs, exact_membership, representatives, with_content_hash
 from .extract import split_quarantine, with_extracted
 from .minhash import minhash_pairs, with_signatures
+from .progress import ProgressTracker
 from .simhash import simhash_pairs
 from .substring import substring_pairs
 
@@ -62,9 +63,18 @@ def run(
     cfg: DedupConfig = CANONICAL,
     methods: tuple[str, ...] = DEFAULT_METHODS,
     store: CheckpointStore | None = None,
+    tracker: "ProgressTracker | None" = None,
 ) -> dict[str, DataFrame]:
     """Returns {'quarantine', 'membership', 'pairs', 'components',
-    'clusters', 'report'} DataFrames."""
+    'clusters', 'report', 'release'} — DataFrames plus a ``release()``
+    callable that unpersists every frame this run cached (call it when done
+    consuming the outputs; a long-lived session otherwise accumulates
+    storage blocks across runs).
+
+    ``tracker`` (europa_spark.progress.ProgressTracker) receives live
+    begin/end events per stage — the S5 progress stream — with or without a
+    checkpoint store.
+    """
     spark = docs.sparkSession
 
     import os as _os
@@ -72,44 +82,50 @@ def run(
     import time as _time
 
     _timing = _os.environ.get("EUROPA_STAGE_TIMING") == "1"
+    persisted: list[DataFrame] = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        # LAZY persist: marks the subtree for caching so multi-consumer
+        # frames compute once, but adds no materialization barrier — the
+        # final actions trigger the whole DAG in one pass. (The r01 design
+        # eagerly persist().count()ed every stage: ~10 serial job barriers
+        # that dominated wall time as a corpus-independent floor.)
+        persisted.append(df)
+        return df.persist()
+
+    def release() -> None:
+        for df in persisted:
+            df.unpersist()
+        persisted.clear()
 
     def stage(name: str, compute):
-        _t0 = _time.time()
+        _t0 = _time.time() if (tracker is None) else tracker.begin(name)
         try:
-            return _stage(name, compute)
+            if store is None:
+                # store-less: stages stay lazy; only genuinely
+                # multi-consumer frames are persisted by the caller below.
+                return compute()
+            # store-backed: the parquet write materializes the stage once
+            # and a resumed run reads it back (J5 cache-hit semantics)
+            df, _ = store.get_or_compute(spark, name, compute)
+            return df
         finally:
+            if tracker is not None:
+                tracker.end(name, _t0)
             if _timing:
                 print(f"STAGE {name}: {_time.time()-_t0:.2f}s",
                       file=_sys.stderr, flush=True)
-
-    def _stage(name: str, compute):
-        if store is None:
-            # no checkpoint store: materialize each stage exactly once —
-            # several stages are consumed by 2+ branches (sigs by bands +
-            # verify, pairs by components + output) and the expensive
-            # pandas-UDF kernels must not re-run per consumer. persist()
-            # (columnar, compressed) over localCheckpoint (deserialized row
-            # blocks): severalfold less storage memory, so a full pipeline
-            # run doesn't GC-thrash the JVM. The store-backed path gets the
-            # same once-only semantics from the parquet write.
-            df = compute().persist()
-            df.count()
-            return df
-        df, _ = store.get_or_compute(spark, name, compute)
-        return df
 
     filtered = apply_filters(docs, cfg)
     extracted = with_extracted(filtered)
     clean, quarantine = split_quarantine(extracted)
     # every downstream branch (membership, reps/signatures, report, clusters)
-    # re-reads clean docs: materialize extraction ONCE instead of re-running
-    # the scan+regex chain per branch (3-4x redundant work otherwise).
-    # Narrow FIRST — downstream only needs (url, warc_ts, extracted); keeping
-    # the html binary out of the checkpoint roughly halves the materialized
-    # bytes (column-pruning the block store, the in-memory analog of
-    # ReadSchema pruning on a checkpoint table).
-    clean = clean.select("url", "warc_ts", "extracted").persist()
-    clean.count()
+    # re-reads clean docs: cache extraction so the scan+regex chain runs once
+    # instead of per branch. Narrow FIRST — downstream only needs
+    # (url, warc_ts, extracted); keeping the html binary out of the cache
+    # roughly halves the stored bytes (the in-memory analog of ReadSchema
+    # pruning on a checkpoint table).
+    clean = _persist(clean.select("url", "warc_ts", "extracted"))
     # quarantine stays lazy without a store: it is an output, not an input
     # of any later stage — eager materialization would bill a full extra
     # extract pass to every pipeline run that never reads it
@@ -120,7 +136,9 @@ def run(
     membership = stage(
         "membership", lambda: exact_membership(clean, cfg)
     )
-    reps = representatives(hashed).select("url", "extracted")
+    # reps feeds every signature stage (minhash, substring, simhash) — cache
+    # the window-dedup result rather than re-shuffling clean per stage
+    reps = _persist(representatives(hashed).select("url", "extracted"))
 
     pair_frames: list[DataFrame] = []
     if "exact" in methods:
@@ -133,27 +151,39 @@ def run(
             # would otherwise be persisted twice (clean + sigs)
             sigs = stage(
                 "signatures",
-                lambda: with_signatures(reps, cfg).select(
-                    "url", "shingles", "minhash"
+                lambda: _persist(
+                    with_signatures(reps, cfg).select("url", "shingles", "minhash")
                 ),
             )
             pair_frames.append(
-                stage("pairs_minhash", lambda: minhash_pairs(reps, cfg, sigs=sigs))
+                stage(
+                    "pairs_minhash",
+                    lambda: minhash_pairs(reps, cfg, sigs=sigs, registry=persisted),
+                )
             )
         if "substring" in methods:
             pair_frames.append(
-                stage("pairs_substring", lambda: substring_pairs(reps, cfg))
+                stage(
+                    "pairs_substring",
+                    lambda: substring_pairs(reps, cfg, registry=persisted),
+                )
             )
         if "simhash" in methods:
             pair_frames.append(
-                stage("pairs_simhash", lambda: simhash_pairs(reps, cfg))
+                stage(
+                    "pairs_simhash",
+                    lambda: simhash_pairs(reps, cfg, registry=persisted),
+                )
             )
 
+    # pairs is consumed by union-find AND returned as an output — cache it so
+    # the signature/join subtrees don't re-execute per consumer
     pairs = stage(
         "pairs",
-        lambda: reduce(
-            DataFrame.unionByName, pair_frames
-        ).dropDuplicates(["url_a", "url_b"]),
+        lambda: _persist(
+            reduce(DataFrame.unionByName, pair_frames)
+            .dropDuplicates(["url_a", "url_b"])
+        ),
     )
 
     components = stage("components", lambda: connected_components(pairs))
@@ -181,4 +211,5 @@ def run(
         "components": components,
         "clusters": clusters,
         "report": report,
+        "release": release,
     }

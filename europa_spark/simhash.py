@@ -76,7 +76,10 @@ def with_simhash(reps: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(
-    reps: DataFrame, cfg: DedupConfig = CANONICAL, sigs: DataFrame | None = None
+    reps: DataFrame | None,
+    cfg: DedupConfig = CANONICAL,
+    sigs: DataFrame | None = None,
+    registry: list | None = None,
 ) -> DataFrame:
     """Confirmed pairs within Hamming distance cfg.simhash_hamming_d.
 
@@ -87,6 +90,8 @@ def simhash_pairs(
         # shared by the band table and both hot/normal branches — persist so
         # the scan+UDF subtree is computed once (see minhash_pairs note)
         sigs = with_simhash(reps).select("url", "simhash").persist()
+        if registry is not None:
+            registry.append(sigs)
     else:
         sigs = sigs.select("url", "simhash")
     nb = cfg.simhash_bands
@@ -124,9 +129,16 @@ def simhash_pairs(
             F.col("b.simhash").alias("sig_b"),
         )
     )
-    hot = sized.filter(F.col("bucket_n") > cfg.bucket_cap)
+    # hot buckets: salted sub-buckets of ~cap members (all-pairs within a
+    # salt) + star edges to the bucket min — same recall/connectivity trade
+    # as minhash.candidate_pairs (see that docstring)
+    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.bucket_cap)).cast("int")
+    hot = sized.filter(F.col("bucket_n") > cfg.bucket_cap).select(
+        "band_idx", "band_key", "url", "simhash", "bucket_min",
+        F.pmod(F.xxhash64("url", "band_idx", "band_key"), n_salts).alias("salt"),
+    )
     hot_min = hot.select("band_idx", "band_key", "url", "simhash").alias("hm")
-    cand_hot = (
+    cand_star = (
         hot.filter(F.col("url") != F.col("bucket_min"))
         .alias("h")
         .join(
@@ -142,7 +154,21 @@ def simhash_pairs(
             F.col("h.simhash").alias("sig_b"),
         )
     )
-    cands = cand_normal.unionByName(cand_hot).dropDuplicates(["url_a", "url_b"])
+    ha = hot.select("band_idx", "band_key", "salt", "url", "simhash").alias("sa")
+    hb = hot.select("band_idx", "band_key", "salt", "url", "simhash").alias("sb")
+    cand_salt = (
+        ha.join(hb, ["band_idx", "band_key", "salt"])
+        .filter(F.col("sa.url") < F.col("sb.url"))
+        .select(
+            F.col("sa.url").alias("url_a"),
+            F.col("sb.url").alias("url_b"),
+            F.col("sa.simhash").alias("sig_a"),
+            F.col("sb.simhash").alias("sig_b"),
+        )
+    )
+    cands = cand_normal.unionByName(cand_star).unionByName(cand_salt).dropDuplicates(
+        ["url_a", "url_b"]
+    )
     hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
     return (
         cands.withColumn("hamming", hamming)

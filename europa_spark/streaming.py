@@ -12,9 +12,12 @@ exact dedup against a persistent seen-content state table. Each micro-batch:
      made deterministic by min-url within the batch);
   4. intra-batch extra copies are emitted as duplicates too.
 
-State lives in plain parquet under ``state_dir`` (append-only `seen/`,
-append-only `dup_log/`), idempotent per batch id: a replayed batch
-(streaming checkpoint recovery) rewrites the same deterministic rows.
+State lives in plain parquet under ``state_dir``, PARTITIONED BY BATCH ID
+(`seen/batch_id=N/`, `dup_log/batch_id=N/`), which is what makes replay
+idempotent: a replayed batch (streaming checkpoint recovery) overwrites its
+own partition with the same deterministic rows, and the state read for batch
+N only sees partitions with batch_id < N — so a replay can never match rows
+against its own previous (partially committed) output.
 """
 
 from __future__ import annotations
@@ -53,14 +56,19 @@ def _dup_log_path(state_dir: str) -> str:
     return os.path.join(state_dir, "dup_log")
 
 
-def _read_seen(spark: SparkSession, state_dir: str) -> DataFrame:
+def _read_seen(spark: SparkSession, state_dir: str, before_batch: int) -> DataFrame:
+    """Seen-state visible to ``before_batch``: only partitions committed by
+    EARLIER batches — a replayed batch never sees its own prior output."""
     p = _seen_path(state_dir)
     try:
-        return spark.read.parquet(p)
+        df = spark.read.parquet(p)
     except Exception:  # noqa: BLE001 — first batch: empty state
         return spark.createDataFrame(
             [], "content_hash string, first_url string"
         )
+    return df.filter(F.col("batch_id") < before_batch).select(
+        "content_hash", "first_url"
+    )
 
 
 def process_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
@@ -70,7 +78,7 @@ def process_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
         "url", content_hash_col().alias("content_hash")
     ).localCheckpoint()
 
-    seen = _read_seen(spark, state_dir)
+    seen = _read_seen(spark, state_dir, batch_id)
     joined = hashed.join(
         seen.withColumnRenamed("first_url", "seen_url"), "content_hash", "left"
     ).localCheckpoint()
@@ -80,7 +88,6 @@ def process_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
         "url",
         F.col("seen_url").alias("duplicate_of"),
         "content_hash",
-        F.lit(batch_id).alias("batch_id"),
     )
     # intra-batch: first (min url) wins among unseen hashes
     unseen = joined.filter(F.col("seen_url").isNull())
@@ -92,13 +99,17 @@ def process_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
             "url",
             F.col("first_url").alias("duplicate_of"),
             "content_hash",
-            F.lit(batch_id).alias("batch_id"),
         )
     )
     dups = cross.unionByName(intra)
-    dups.write.mode("append").parquet(_dup_log_path(state_dir))
-    firsts.select("content_hash", "first_url").write.mode("append").parquet(
-        _seen_path(state_dir)
+    # per-batch partition + overwrite = exactly-once output under replay:
+    # batch content is deterministic given (batch rows, state<batch_id), so
+    # a recovery replay rewrites identical rows instead of appending copies
+    dups.write.mode("overwrite").parquet(
+        os.path.join(_dup_log_path(state_dir), f"batch_id={batch_id}")
+    )
+    firsts.select("content_hash", "first_url").write.mode("overwrite").parquet(
+        os.path.join(_seen_path(state_dir), f"batch_id={batch_id}")
     )
 
 
@@ -127,4 +138,8 @@ def start_incremental_dedup(
 
 
 def read_dup_log(spark: SparkSession, state_dir: str) -> DataFrame:
-    return spark.read.parquet(_dup_log_path(state_dir))
+    """(url, duplicate_of, content_hash, batch_id) — batch_id is restored
+    from the partition directory names."""
+    return spark.read.parquet(_dup_log_path(state_dir)).withColumn(
+        "batch_id", F.col("batch_id").cast("long")
+    )

@@ -125,7 +125,10 @@ def make_winnow_udf(cfg: DedupConfig = CANONICAL):
 
 
 def substring_pairs(
-    reps: DataFrame, cfg: DedupConfig = CANONICAL, max_df: int = WINNOW_MAX_DF
+    reps: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    max_df: int = WINNOW_MAX_DF,
+    registry: list | None = None,
 ) -> DataFrame:
     """reps(url, extracted) -> confirmed substring pairs.
 
@@ -148,6 +151,8 @@ def substring_pairs(
     fp_arrays = keyed.select(
         "uid", "url", fp_udf(F.col("extracted")).alias("fps")
     ).persist()
+    if registry is not None:
+        registry.append(fp_arrays)
     id_map = fp_arrays.select("uid", "url")
     # fingerprints are np.unique'd per doc inside the kernel, so (uid, fp)
     # is already distinct — no dedup shuffle needed

@@ -76,20 +76,58 @@ def test_recall_and_decoy_rejection(spark, reps, sigs, corpus):
         assert j >= 0.8, (a, b, j)
 
 
-def test_hot_bucket_star_edges(spark):
-    """Oversized band buckets route to linear star edges (skew cap)."""
+def test_hot_bucket_star_and_salted_edges(spark):
+    """Oversized band buckets route to star edges + salted within-sub-bucket
+    all-pairs (skew cap): work is O(n * cap), never O(n^2)."""
     cfg = DedupConfig(bucket_cap=3)
     text = " ".join(f"t{i}" for i in range(100))
+    n = 10
     df = spark.createDataFrame(
-        [(f"u{i:02d}", text) for i in range(10)], "url string, extracted string"
+        [(f"u{i:02d}", text) for i in range(n)], "url string, extracted string"
     )
     sigs = with_signatures(df, cfg)
-    cands = candidate_pairs(band_table(sigs, cfg), cfg)
+    bt = band_table(sigs, cfg)
+    cands = candidate_pairs(bt, cfg)
     rows = {(r["url_a"], r["url_b"]) for r in cands.collect()}
-    # star: every member connects to the bucket min, u00
-    assert rows == {("u00", f"u{i:02d}") for i in range(1, 10)}
+    star = {("u00", f"u{i:02d}") for i in range(1, n)}
+    assert star <= rows  # connectivity through the bucket representative
+    # boundedness is PER BAND (identical docs collide in all 16 bands and
+    # each band salts differently, so the union may approach all-pairs —
+    # per-band candidate WORK is what must stay O(n * cap)):
+    one_band = candidate_pairs(bt.filter(F.col("band_idx") == 0), cfg)
+    assert one_band.count() < n * cfg.bucket_cap
     confirmed = verify_pairs(cands, sigs, cfg)
-    assert confirmed.count() == 9  # identical text -> J=1 everywhere
+    # identical text -> J=1 on every candidate, so the component is intact
+    assert confirmed.count() == len(rows)
+
+
+def test_hot_bucket_mutual_pairs_survive_salting(spark):
+    """Adversarial (ADVICE r01): hot-bucket members that are near-dups of
+    EACH OTHER but not of the bucket min must keep a direct candidate edge
+    whenever they share a salt — the star-only r01 design dropped them all."""
+    cfg = DedupConfig(bucket_cap=2)
+    members = ["a0"] + [f"m{i}" for i in range(1, 8)]
+    bands = spark.createDataFrame(
+        [(u, 0, 42) for u in members], "url string, band_idx int, band_hash bigint"
+    )
+    rows = {
+        (r["url_a"], r["url_b"])
+        for r in candidate_pairs(bands, cfg).collect()
+    }
+    star = {("a0", m) for m in members[1:]}
+    assert star <= rows
+    non_star = rows - star
+    # salting ceil(8/2)=4 sub-buckets over 8 members: within-salt mutual
+    # pairs must exist (deterministic xxhash salt assignment)
+    assert non_star, "salted sub-buckets must emit direct member-member pairs"
+    # and the fan-out stays linear-ish: every member appears in O(cap) pairs
+    from collections import Counter
+
+    degree = Counter()
+    for a, b in rows:
+        degree[a] += 1
+        degree[b] += 1
+    assert max(degree[m] for m in members[1:]) <= 2 * cfg.bucket_cap
 
 
 def test_band_join_is_narrow(spark, sigs):

@@ -99,3 +99,44 @@ def test_counters_lineage(spark, docs_df, tmp_path):
     for c in counters:
         assert c["rows_out"] == sum(p["rows"] for p in c["partitions"])
         assert c["wall_ms"] >= 0
+
+
+def test_live_progress_without_store(spark, docs_df):
+    """S5: a STORE-LESS run must still emit a live per-stage progress stream
+    (r01 gap: counters existed only at checkpoint-save time)."""
+    from europa_spark.progress import ProgressTracker
+
+    seen_live = []
+    tracker = ProgressTracker(on_event=seen_live.append)
+    out = run(docs_df, tracker=tracker)
+    out["report"].count()
+    out["release"]()
+    stages = {e.stage for e in tracker.events if e.kind == "end"}
+    assert {"membership", "signatures", "pairs", "components"} <= stages
+    assert seen_live == tracker.events  # streamed as they happened
+    assert all(
+        e.wall_ms is not None and e.wall_ms >= 0
+        for e in tracker.events if e.kind == "end"
+    )
+
+
+def test_release_unpersists_everything(spark, docs_df):
+    """Storage hygiene: release() must drop every block this run cached —
+    repeated runs in one session may not accumulate storage memory."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def cached_ids():
+        return {
+            i.id() for i in jsc.getRDDStorageInfo() if i.numCachedPartitions() > 0
+        }
+
+    before = cached_ids()  # other tests' module-scoped caches may be live
+    out = run(docs_df)
+    out["report"].count()  # materialize (lazy persists fill the cache)
+    assert cached_ids() - before, "run should have cached frames"
+    out["release"]()
+    leftover = cached_ids() - before
+    # the ONLY surviving block may be the union-find result's final local
+    # checkpoint — it backs the returned components/clusters DataFrames and
+    # is reclaimed by Spark's ContextCleaner once `out` is dropped
+    assert len(leftover) <= 1, leftover

@@ -137,6 +137,34 @@ def test_embedding_dup_pairs_integer_predicate(spark, emb):
                 assert (a, b) in found, (a, b)
 
 
+def test_embedding_dup_pairs_lsh_matches_bruteforce(spark, emb):
+    """The gated scale path (bucketed LSH + quantized verify, no driver
+    collect) must emit EXACTLY the brute-force integer-predicate pair set —
+    candidate recall 1.0 at the gate's LSH params."""
+    from europa_spark.ann import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    brute = {
+        (r["vec_id_a"], r["vec_id_b"], r["qdot"], r["na"], r["nb"])
+        for r in embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"], r["qdot"], r["na"], r["nb"])
+        for r in embedding_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert brute, "gate must be non-empty at this threshold"
+    assert lsh == brute
+
+
+def test_kmeans_centroids_deterministic_and_normalized(spark, emb):
+    from europa_spark.ann import kmeans_centroids
+
+    C1 = kmeans_centroids(emb, n_cells=8)
+    C2 = kmeans_centroids(emb, n_cells=8)
+    assert np.array_equal(C1, C2)
+    assert C1.shape[0] == 8
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+
+
 def test_adapter_roundtrip(spark):
     docs = to_canonical(spark.read.parquet(f"{SF}/documents.parquet"))
     assert docs.schema.simpleString() == (

@@ -9,13 +9,20 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from europa_spark.multimodal import (
+    _decode_bytes,
+    blockmean_hash,
+    dhash64,
     make_fake_media,
     media_exact_dups,
+    media_phash_pairs,
     media_signatures,
+    phash64,
     with_media_metadata,
 )
-from europa_spark.streaming import read_dup_log, start_incremental_dedup
+from europa_spark.streaming import process_batch, read_dup_log, start_incremental_dedup
 
 
 def _write_docs(path: str, rows: list[tuple[str, str]]) -> None:
@@ -69,9 +76,101 @@ def test_media_metadata_and_signatures(spark):
     sigs = {r["url"]: r for r in media_signatures(df).collect()}
     assert set(sigs) == {"m1", "m2", "m3"}  # jpeg skipped (stub decoder)
     assert (sigs["m1"]["width"], sigs["m1"]["height"]) == (8, 6)
-    assert sigs["m1"]["sig"] == sigs["m2"]["sig"]
-    assert len(sigs["m1"]["sig"]) == 64
-    assert sigs["m1"]["sig"] != sigs["m3"]["sig"]
+    for col in ("dhash", "phash", "blockmean"):
+        assert sigs["m1"][col] == sigs["m2"][col]  # byte-identical media
+        assert sigs["m1"][col] != sigs["m3"][col]
+    assert len(sigs["m1"]["blockmean"]) == 242  # 961 bits -> 121 bytes hex
 
     dups = {(r["url"], r["group_id"]) for r in media_exact_dups(df).collect()}
     assert dups == {("m1", "m1"), ("m2", "m1")}
+
+
+def _rand_image(rng, w=48, h=32):
+    return rng.integers(0, 256, size=w * h, dtype=np.uint8)
+
+
+def test_perceptual_hash_properties():
+    """The three reference hash algorithms (DifferenceHash.cs:20-46,
+    PerceptualHash.cs:64-120, BlockMeanHash.cs:46-99): near-identical images
+    hash within a small Hamming radius, unrelated images far; hashes are
+    scale-invariant (resize canonicalization)."""
+    rng = np.random.default_rng(11)
+    base = _rand_image(rng)
+    noisy = np.clip(base.astype(np.int16) + rng.integers(-2, 3, base.shape), 0, 255)
+    other = _rand_image(rng)
+
+    def grid(payload):
+        return _decode_bytes(make_fake_media(48, 32, payload.astype(np.uint8).tobytes()))[2]
+
+    def ham64(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    g0, g1, g2 = grid(base), grid(noisy), grid(other)
+    assert ham64(dhash64(g0), dhash64(g1)) <= 6
+    assert ham64(dhash64(g0), dhash64(g2)) >= 16
+    assert ham64(phash64(g0), phash64(g1)) <= 6
+    assert ham64(phash64(g0), phash64(g2)) >= 16
+
+    bm = lambda g: int.from_bytes(blockmean_hash(g), "little")  # noqa: E731
+    assert bin(bm(g0) ^ bm(g1)).count("1") <= 96   # of 961 bits
+    assert bin(bm(g0) ^ bm(g2)).count("1") >= 300
+
+    # scale invariance: 2x upsampled image stays within the radius
+    big = np.kron(g0, np.ones((2, 2)))
+    w, h = big.shape[1], big.shape[0]
+    assert ham64(phash64(g0), phash64(big)) <= 8, (w, h)
+
+
+def test_media_phash_pairs_planted(spark):
+    """Planted perceptual near-dups group; unrelated media do not."""
+    rng = np.random.default_rng(5)
+    base = _rand_image(rng)
+    noisy = np.clip(base.astype(np.int16) + rng.integers(-1, 2, base.shape), 0, 255)
+    rows = [
+        ("p1", make_fake_media(48, 32, base.tobytes())),
+        ("p2", make_fake_media(48, 32, noisy.astype(np.uint8).tobytes())),
+        ("p3", make_fake_media(48, 32, _rand_image(rng).tobytes())),
+        ("p4", make_fake_media(48, 32, _rand_image(rng).tobytes())),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    pairs = {
+        (r["url_a"], r["url_b"])
+        for r in media_phash_pairs(media_signatures(df)).collect()
+    }
+    assert ("p1", "p2") in pairs
+    assert all({a, b} == {"p1", "p2"} for a, b in pairs), pairs
+
+
+def test_stream_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (checkpoint-recovery semantics) must rewrite
+    identical rows, not duplicate the log or self-match against its own
+    prior output (ADVICE r01: per-batch partition + state<batch_id read)."""
+    state = str(tmp_path / "state")
+    rows = [("u1", "alpha beta"), ("u2", "alpha beta"), ("u3", "solo text")]
+    batch = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    process_batch(batch, 0, state)
+    first = sorted(
+        (r["url"], r["duplicate_of"], r["batch_id"])
+        for r in read_dup_log(spark, state).collect()
+    )
+    assert first == [("u2", "u1", 0)]
+    # replay the SAME batch id — e.g. foreachBatch recovery after a crash
+    process_batch(batch, 0, state)
+    replay = sorted(
+        (r["url"], r["duplicate_of"], r["batch_id"])
+        for r in read_dup_log(spark, state).collect()
+    )
+    assert replay == first  # no duplicated rows, no self-matches
+    # and the next batch still sees batch-0 state exactly once
+    b1 = spark.createDataFrame(
+        [("u9", None, None, "alpha beta", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    process_batch(b1, 1, state)
+    final = {
+        (r["url"], r["duplicate_of"]) for r in read_dup_log(spark, state).collect()
+    }
+    assert final == {("u2", "u1"), ("u9", "u1")}
