@@ -441,9 +441,10 @@ def minhash_pairs(
         if registry is not None:
             registry.append(sigs)
     # cands is consumed three times in verify (the url prune + both pair
-    # joins); it is small (LSH selectivity) — persist so the band self-join
-    # runs once instead of per consumer
+    # joins); it is small (LSH selectivity) — persist AND materialize so the
+    # band self-join runs once, not per racing consumer stage
     cands = candidate_pairs(band_table(sigs, cfg), cfg).persist()
+    cands.count()
     if registry is not None:
         registry.append(cands)
     confirmed = verify_pairs(cands, sigs, cfg)

@@ -93,6 +93,17 @@ def run(
         persisted.append(df)
         return df.persist()
 
+    def _materialize(df: DataFrame) -> DataFrame:
+        # EAGER persist, reserved for expensive frames with 2+ consumers in
+        # the SAME downstream job: concurrent stages racing an unmaterialized
+        # InMemoryRelation each recompute its whole subtree (Spark caches
+        # per-block on first write, it does not share in-flight work), which
+        # re-runs the pandas-UDF kernels per consumer — measured 3x worse
+        # than one barrier. Everything else stays lazy.
+        _persist(df)
+        df.count()
+        return df
+
     def release() -> None:
         for df in persisted:
             df.unpersist()
@@ -125,7 +136,10 @@ def run(
     # (url, warc_ts, extracted); keeping the html binary out of the cache
     # roughly halves the stored bytes (the in-memory analog of ReadSchema
     # pruning on a checkpoint table).
-    clean = _persist(clean.select("url", "warc_ts", "extracted"))
+    # clean is consumed by 3+ concurrent branches of the first job
+    # (membership, reps->signatures, substring) — eager, or the scan+regex
+    # extract chain re-runs per branch
+    clean = _materialize(clean.select("url", "warc_ts", "extracted"))
     # quarantine stays lazy without a store: it is an output, not an input
     # of any later stage — eager materialization would bill a full extra
     # extract pass to every pipeline run that never reads it
@@ -149,9 +163,11 @@ def run(
         if "minhash" in methods:
             # narrow to the signature columns: extracted rides on reps and
             # would otherwise be persisted twice (clean + sigs)
+            # bands + verify consume sigs concurrently — eager, or the
+            # signature UDF runs 2-3x
             sigs = stage(
                 "signatures",
-                lambda: _persist(
+                lambda: _materialize(
                     with_signatures(reps, cfg).select("url", "shingles", "minhash")
                 ),
             )

@@ -90,6 +90,9 @@ def simhash_pairs(
         # shared by the band table and both hot/normal branches — persist so
         # the scan+UDF subtree is computed once (see minhash_pairs note)
         sigs = with_simhash(reps).select("url", "simhash").persist()
+        # eager: band table + stats join + both branches reference this in
+        # one job (see minhash_pairs note on racing consumers)
+        sigs.count()
         if registry is not None:
             registry.append(sigs)
     else:

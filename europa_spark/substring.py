@@ -151,6 +151,10 @@ def substring_pairs(
     fp_arrays = keyed.select(
         "uid", "url", fp_udf(F.col("extracted")).alias("fps")
     ).persist()
+    # eager: 3 consumers (df-cap count + both self-join sides) race this
+    # relation inside one job — without the barrier the winnow UDF re-runs
+    # per consumer stage
+    fp_arrays.count()
     if registry is not None:
         registry.append(fp_arrays)
     id_map = fp_arrays.select("uid", "url")
