@@ -25,12 +25,19 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+    pairs: DataFrame,
+    max_iter: int = 25,
+    checkpoint_every: int = 1,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """pairs(url_a, url_b, ...) -> (url, cluster_id = min url of component).
 
     Only nodes appearing in >= 1 edge are emitted (singletons are not
     clusters; SimilarImageFinder.cs:119 keeps groups of >= 2 only).
+
+    ``n_edges_hint``: undirected edge count if the caller already knows it
+    (e.g. from a materialized pair table) — skips one count job and lets the
+    adjacency be built with its loop partitioning in a single pass.
     """
     edges = pairs.select("url_a", "url_b").distinct()
     # symmetric adjacency (undirected graph as two directed edges)
@@ -44,22 +51,37 @@ def connected_components(
     # typically orders of magnitude smaller than the input (only dups have
     # edges), and each round issues several shuffles — at the session-wide
     # partition count the loop is pure scheduling overhead on small graphs.
-    # Right-size by repartitioning the materialized adjacency (the loop's
-    # map side inherits it) and let AQE coalescePartitions shrink every
-    # reduce side to the data — NO session-conf mutation (a shared
+    # ~50k adjacency rows per partition: small graphs collapse to 4
+    # partitions, big graphs keep enough partitions to occupy every core —
+    # the r02 profile showed a 1M-edge graph pinned at 4 partitions ran the
+    # whole loop at identical wall on 8 and 32 cores (a measured non-scaling
+    # component). Right-sizing happens by repartitioning the materialized
+    # adjacency — NO session-conf mutation (a shared
     # spark.sql.shuffle.partitions write would race concurrent queries on
     # the same session; VERDICT r01 "what's wrong" #4).
-    adj, adj_ids = _tracked_local_checkpoint(adj)
-    n_edges = adj.count()  # cheap: materialized by the checkpoint above
-    loop_parts = max(4, min(adj.rdd.getNumPartitions(),
-                            1 + n_edges // 1_000_000))
-    if adj.rdd.getNumPartitions() > loop_parts:
-        repart, new_ids = _tracked_local_checkpoint(
-            adj.repartition(loop_parts, "url_b")
+    session_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    def _loop_parts(n_adj_rows: int) -> int:
+        return max(4, min(session_parts, 1 + n_adj_rows // 50_000))
+
+    if n_edges_hint is not None:
+        # single pass: repartition to the hinted size while materializing
+        adj, adj_ids = _tracked_local_checkpoint(
+            adj.repartition(_loop_parts(2 * n_edges_hint), "url_b")
         )
-        repart.count()
-        _unpersist_ids(pairs.sparkSession, adj_ids)
-        adj, adj_ids = repart, new_ids
+    else:
+        adj, adj_ids = _tracked_local_checkpoint(adj)
+        n_adj = adj.count()  # cheap: materialized by the checkpoint above
+        loop_parts = _loop_parts(n_adj)
+        if adj.rdd.getNumPartitions() != loop_parts:
+            repart, new_ids = _tracked_local_checkpoint(
+                adj.repartition(loop_parts, "url_b")
+            )
+            repart.count()
+            _unpersist_ids(pairs.sparkSession, adj_ids)
+            adj, adj_ids = repart, new_ids
     try:
         return _cc_loop(adj, max_iter)
     finally:

@@ -262,10 +262,42 @@ def make_signature_udf(cfg: DedupConfig = CANONICAL):
     return signature
 
 
-def with_signatures(reps: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
-    """reps(url, extracted, ...) -> + shingles ARRAY<BIGINT>,
-    minhash ARRAY<BIGINT>. One fused Arrow round-trip; everything else
-    stays JVM-side."""
+def make_minhash_only_udf(cfg: DedupConfig = CANONICAL):
+    """Signature UDF that emits ONLY the num_perm-long MinHash array (~1 KB
+    per row) and keeps the full shingle-hash arrays (~3-4 KB per row on
+    webtext) inside the Python worker. The wide arrays were the measured
+    32-core anti-scaling culprit (r02 profile: the emit-everything stage ran
+    3x SLOWER at 32 workers than at 8 — Arrow serialization + columnar cache
+    of ~4 KB/row saturates DRAM bandwidth long before 32 cores are CPU
+    bound). Verify recomputes shingles for the few candidate docs instead
+    (see verify_pairs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    k = cfg.shingle_k
+    a, b = _perm_params(cfg)
+    num_perm = cfg.num_perm
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_only(text: pd.Series) -> pd.Series:
+        arrs = _batch_shingle_hashes([t if t is not None else "" for t in text], k)
+        return pd.Series(_minhash_of(arrs, a, b, num_perm), dtype=object)
+
+    return minhash_only
+
+
+def with_signatures(
+    reps: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    include_shingles: bool = True,
+) -> DataFrame:
+    """reps(url, extracted, ...) -> + minhash ARRAY<BIGINT> (+ shingles
+    ARRAY<BIGINT> when ``include_shingles``). One fused Arrow round-trip;
+    everything else stays JVM-side. The pipeline path uses
+    ``include_shingles=False`` — narrow signatures scale with cores, wide
+    ones are DRAM-bound (see make_minhash_only_udf)."""
+    if not include_shingles:
+        mh = make_minhash_only_udf(cfg)
+        return reps.withColumn("minhash", mh(F.col("extracted")))
     sig = make_signature_udf(cfg)
     s = reps.withColumn("_sig", sig(F.col("extracted")))
     return s.withColumn("shingles", F.col("_sig.shingles")).withColumn(
@@ -342,22 +374,40 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame
 
 
 def verify_pairs(
-    candidates: DataFrame, sigs: DataFrame, cfg: DedupConfig = CANONICAL
+    candidates: DataFrame,
+    sigs: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    registry: list | None = None,
 ) -> DataFrame:
     """Exact-Jaccard confirmation of candidates (J3). JVM-side set algebra on
-    the stored shingle arrays — the pandas-UDF-free verify path."""
-    # candidate urls are a small fraction of the corpus (LSH radius-search
-    # selectivity), so semi-join-prune the WIDE shingle relation before the
-    # pair joins: the broadcast ships only urls, and the ~KB/row shingle
-    # arrays of non-candidates never enter a shuffle. (At scales where the
-    # candidate url set outgrows broadcast, drop the hint and let AQE plan
-    # the semi-join.)
+    the shingle arrays — the pandas-UDF-free verify path.
+
+    ``sigs`` either carries a precomputed ``shingles`` column, or carries
+    ``extracted`` text and the shingle hashes are recomputed HERE for the
+    candidate urls only: candidates are a small fraction of the corpus (LSH
+    radius-search selectivity), so pruning BEFORE the shingle UDF keeps the
+    wide ~KB/row arrays out of the signature stage entirely — emitting them
+    for every doc was the measured 32-core DRAM-bandwidth anti-scaler."""
+    # the broadcast ships only urls; at scales where the candidate url set
+    # outgrows broadcast, drop the hint and let AQE plan the semi-join
     needed = candidates.select(
         F.explode(F.array("url_a", "url_b")).alias("url")
     ).distinct()
-    sh = sigs.select(F.col("url"), F.col("shingles")).join(
-        F.broadcast(needed), "url", "left_semi"
-    )
+    if "shingles" in sigs.columns:
+        sh = sigs.select(F.col("url"), F.col("shingles")).join(
+            F.broadcast(needed), "url", "left_semi"
+        )
+    else:
+        shingle_udf = make_shingle_udf(cfg)
+        pruned = sigs.select("url", "extracted").join(
+            F.broadcast(needed), "url", "left_semi"
+        )
+        sh = pruned.select(
+            "url", shingle_udf(F.col("extracted")).alias("shingles")
+        ).persist()
+        sh.count()  # both pair joins consume this — don't race the UDF
+        if registry is not None:
+            registry.append(sh)
     j = (
         candidates.join(sh.withColumnRenamed("url", "url_a").withColumnRenamed("shingles", "sh_a"), "url_a")
         .join(sh.withColumnRenamed("url", "url_b").withColumnRenamed("shingles", "sh_b"), "url_b")
@@ -433,11 +483,11 @@ def minhash_pairs(
     ``registry``: optional list collecting every DataFrame persisted here so
     the caller can unpersist them when done (pipeline.run's release())."""
     if sigs is None:
-        # the signature subtree is referenced by bands (stats + join) and
-        # verify (semi + 2 pair joins); without a shared relation Catalyst
-        # inlines the whole scan+UDF tree per reference (~20 scans observed).
-        # persist() collapses them into one InMemoryRelation computed once.
-        sigs = with_signatures(reps, cfg).persist()
+        # narrow minhash-only signatures (~1 KB/row): the band subtree
+        # references this twice (stats + join) — persist+materialize so the
+        # UDF runs once, not per racing consumer.
+        sigs = with_signatures(reps, cfg, include_shingles=False).persist()
+        sigs.count()
         if registry is not None:
             registry.append(sigs)
     # cands is consumed three times in verify (the url prune + both pair
@@ -447,7 +497,10 @@ def minhash_pairs(
     cands.count()
     if registry is not None:
         registry.append(cands)
-    confirmed = verify_pairs(cands, sigs, cfg)
+    # verify recomputes shingles for candidate urls only when sigs are
+    # narrow: reps carries the text
+    verify_source = sigs if "shingles" in sigs.columns else reps
+    confirmed = verify_pairs(cands, verify_source, cfg, registry=registry)
     if cfg.top_k_neighbors is not None:
         confirmed = top_k_per_probe(confirmed, cfg.top_k_neighbors)
     return confirmed

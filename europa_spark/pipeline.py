@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from .checkpoint import CheckpointStore
 from .cluster import cluster_members, connected_components
 from .config import DedupConfig, CANONICAL
-from .exact import exact_pairs, exact_membership, representatives, with_content_hash
+from .exact import exact_pairs, exact_membership
 from .extract import split_quarantine, with_extracted
 from .minhash import minhash_pairs, with_signatures
 from .progress import ProgressTracker
@@ -146,13 +146,24 @@ def run(
     if store is not None:
         quarantine = stage("quarantine", lambda: quarantine)
 
-    hashed = with_content_hash(clean, cfg)
+    # narrow frame consumed by exact pairs AND the winner-url projection
     membership = stage(
-        "membership", lambda: exact_membership(clean, cfg)
+        "membership", lambda: _persist(exact_membership(clean, cfg))
     )
-    # reps feeds every signature stage (minhash, substring, simhash) — cache
-    # the window-dedup result rather than re-shuffling clean per stage
-    reps = _persist(representatives(hashed).select("url", "extracted"))
+    # representatives WITHOUT moving text: membership's window shuffles only
+    # narrow columns (url, ts, hash), and the winner-url set broadcasts back
+    # onto the cached clean table as a semi-join — the r01/r02 design
+    # (row_number window over clean) shuffled the WIDE extracted column
+    # (~2.5 KB/row) through disk, a phase measured to run at identical wall
+    # on 8 and 32 cores. Winner urls are ~25 B/doc; at scales beyond
+    # broadcast (>~10^9 docs per job) swap the hint for a shuffle semi-join
+    # on a bucketed layout.
+    winners = membership.filter(
+        F.col("url") == F.col("exact_group_id")
+    ).select("url")
+    reps = clean.join(F.broadcast(winners), "url", "left_semi").select(
+        "url", "extracted"
+    )
 
     pair_frames: list[DataFrame] = []
     if "exact" in methods:
@@ -163,12 +174,16 @@ def run(
         if "minhash" in methods:
             # narrow to the signature columns: extracted rides on reps and
             # would otherwise be persisted twice (clean + sigs)
-            # bands + verify consume sigs concurrently — eager, or the
-            # signature UDF runs 2-3x
+            # narrow minhash-only signatures (~1 KB/row; the wide shingle
+            # arrays stay in the Python worker — emitting+caching them for
+            # every doc was the 32-core DRAM anti-scaler, r02 profile).
+            # Eager: bands stats + band join consume this concurrently.
             sigs = stage(
                 "signatures",
                 lambda: _materialize(
-                    with_signatures(reps, cfg).select("url", "shingles", "minhash")
+                    with_signatures(reps, cfg, include_shingles=False).select(
+                        "url", "minhash"
+                    )
                 ),
             )
             pair_frames.append(
@@ -192,17 +207,23 @@ def run(
                 )
             )
 
-    # pairs is consumed by union-find AND returned as an output — cache it so
-    # the signature/join subtrees don't re-execute per consumer
+    # pairs is consumed by union-find AND returned as an output — eager, so
+    # the heavy verify/vote join subtrees run exactly once (and the
+    # components stage timer measures only the clustering loop)
     pairs = stage(
         "pairs",
-        lambda: _persist(
+        lambda: _materialize(
             reduce(DataFrame.unionByName, pair_frames)
             .dropDuplicates(["url_a", "url_b"])
         ),
     )
 
-    components = stage("components", lambda: connected_components(pairs))
+    # pairs is already materialized, so its count is a cached-metadata job;
+    # the hint lets union-find build its right-sized adjacency in one pass
+    components = stage(
+        "components",
+        lambda: connected_components(pairs, n_edges_hint=pairs.count()),
+    )
     clusters = stage(
         "clusters", lambda: cluster_members(components, clean.select("url", "warc_ts"))
     )

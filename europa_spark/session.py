@@ -45,6 +45,15 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", os.environ.get(
             "SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         .config("spark.sql.session.timeZone", "UTC")
+        # shuffle/spill scratch on tmpfs when available: local-mode shuffles
+        # write real files, and routing them through the root disk made the
+        # shuffle-heavy phases disk-bound (identical wall at 8 and 32 cores).
+        # On a real cluster this is the executors' local NVMe
+        # (spark.local.dir is per-node there); env overrides for both cases.
+        .config("spark.local.dir", os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR",
+            "/dev/shm/europa-spark-local"
+            if os.path.isdir("/dev/shm") else "/tmp"))
         # decode(html,'UTF-8') must map invalid bytes to U+FFFD (FIXTURES.md §2
         # rule 2a); Spark 4 default is to raise MALFORMED_CHARACTER_CODING
         .config("spark.sql.legacy.codingErrorAction", "true")

@@ -68,6 +68,7 @@ def main(argv=None) -> None:
         "clusters": out["clusters"].count(),
         "pairs": out["pairs"].count(),
     }
+    out["release"]()  # storage hygiene: drop every frame this run cached
     print(json.dumps(stats))
     spark.stop()
 

@@ -31,6 +31,9 @@ from bench import ensure_bench_corpus  # noqa: E402
 
 RUNS = int(os.environ.get("EUROPA_SCALING_RUNS", "3"))
 LEVELS = (8, 32)
+# identical at both levels (same physical plan); more partitions = finer
+# task granularity (smaller straggler tails at 32 cores, better balance)
+SHUFFLE_PARTS = int(os.environ.get("EUROPA_SHUFFLE_PARTS", "32"))
 
 
 def one_run(cpus: int, corpus_dir: str) -> float:
@@ -41,7 +44,7 @@ def one_run(cpus: int, corpus_dir: str) -> float:
     spark = build_session(
         app_name=f"europa-scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=32,  # identical plan at both levels
+        shuffle_partitions=SHUFFLE_PARTS,  # identical plan at both levels
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
@@ -108,7 +111,7 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
-            f"""# BENCH — measured baseline (round 1)
+            f"""# BENCH — measured scaling evidence (latest run; see git history for prior rounds)
 
 Full dedup pipeline (extract -> exact collapse -> MinHash/LSH + substring
 pairs -> union-find -> clusters + report) on the deterministic synthetic
@@ -116,10 +119,10 @@ webtext corpus (FIXTURES.md, seed 42, {n_rows:,} rows, ~85% clean docs after
 quarantine/exact collapse).
 
 Protocol: identical Spark conf at both parallelism levels
-(spark.sql.shuffle.partitions=32, AQE on, Arrow batch 10k); only the core
-count differs (the sandbox stand-in for N vs 4N executors per driver
-instructions). Runs are interleaved across levels (8, 32, 8, 32, ...) in
-fresh SparkContexts so time-correlated host noise hits both levels alike;
+(spark.sql.shuffle.partitions={SHUFFLE_PARTS}, AQE on, Arrow batch 10k);
+only the core count differs (the sandbox stand-in for N vs 4N executors per
+driver instructions). Runs are interleaved across levels (8, 32, 8, 32, ...)
+in fresh SparkContexts so time-correlated host noise hits both levels alike;
 one discarded warmup pair first (JIT + Python-worker spawn), then {RUNS}
 timed runs per level.
 
