@@ -13,7 +13,7 @@ instead of letting one level's whole block land in a bad window. One
 discarded warmup pair first; efficiency from best-of-N walls per level
 (interference only ever adds time).
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Appends BENCH/runs.jsonl, writes BENCH/LATEST_RUN.md, prints one JSON line.
 """
 
 from __future__ import annotations
@@ -109,9 +109,13 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH/BASELINE.md is the hand-curated analysis; raw runs append to a
+    # jsonl ledger and the latest run overwrites its own block
+    with open("BENCH/runs.jsonl", "a") as f:
+        f.write(json.dumps(summary) + "\n")
+    with open("BENCH/LATEST_RUN.md", "w") as f:
         f.write(
-            f"""# BENCH — measured scaling evidence (latest run; see git history for prior rounds)
+            f"""# BENCH — measured scaling evidence (latest run; curated analysis in BASELINE.md)
 
 Full dedup pipeline (extract -> exact collapse -> MinHash/LSH + substring
 pairs -> union-find -> clusters + report) on the deterministic synthetic
@@ -142,7 +146,7 @@ are recall >= 0.99 (met — see tests/test_pipeline.py::test_dup_pair_recall)
 and the scaling efficiency above.
 """
         )
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/LATEST_RUN.md + BENCH/runs.jsonl")
 
 
 if __name__ == "__main__":
