@@ -143,3 +143,98 @@ def read_dup_log(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(_dup_log_path(state_dir)).withColumn(
         "batch_id", F.col("batch_id").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-duplicate dedup: the MinHash/LSH path under foreachBatch.
+# Each micro-batch signatures its new docs once, probes the accumulated band
+# index (incremental_minhash_pairs: delta probes x full index, J4/J5 resume
+# semantics), and appends its signatures + confirmed pairs to per-batch
+# partitions with the same exactly-once replay scheme as the exact path.
+# ---------------------------------------------------------------------------
+
+
+def _sigs_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "sigs")
+
+
+def _pairs_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "pairs")
+
+
+def _read_state(
+    spark: SparkSession, path: str, schema: str, before_batch: int
+) -> DataFrame:
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — first batch: empty state
+        return spark.createDataFrame([], schema)
+    cols = [c.strip().split(" ")[0] for c in schema.split(",")]
+    return df.filter(F.col("batch_id") < before_batch).select(*cols)
+
+
+def process_batch_neardup(
+    batch_df: DataFrame, batch_id: int, state_dir: str, cfg=None
+) -> None:
+    """One micro-batch of incremental MinHash/LSH dedup. Deterministic given
+    (batch rows, state with batch_id < batch_id), so checkpoint-recovery
+    replays rewrite identical partitions."""
+    from .config import CANONICAL
+    from .exact import representatives, with_content_hash
+    from .minhash import incremental_minhash_pairs
+
+    cfg = cfg or CANONICAL
+    spark = batch_df.sparkSession
+    clean, _ = split_quarantine(with_extracted(batch_df))
+    new_reps = representatives(with_content_hash(clean, cfg)).select(
+        "url", "extracted"
+    )
+
+    existing_sigs = _read_state(
+        spark, _sigs_path(state_dir),
+        "url string, shingles array<bigint>, minhash array<bigint>", batch_id,
+    )
+    existing_pairs = _read_state(
+        spark, _pairs_path(state_dir),
+        "url_a string, url_b string, score double", batch_id,
+    )
+    new_sigs, new_pairs = incremental_minhash_pairs(
+        existing_sigs, new_reps, cfg, existing_pairs=existing_pairs
+    )
+    new_sigs.select("url", "shingles", "minhash").write.mode("overwrite").parquet(
+        os.path.join(_sigs_path(state_dir), f"batch_id={batch_id}")
+    )
+    new_pairs.select("url_a", "url_b", "score").write.mode("overwrite").parquet(
+        os.path.join(_pairs_path(state_dir), f"batch_id={batch_id}")
+    )
+
+
+def start_incremental_neardup(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    cfg=None,
+):
+    """availableNow streaming near-dup query over a documents directory —
+    the continuous-ingestion analog of the batch pipeline's minhash path."""
+    os.makedirs(state_dir, exist_ok=True)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: process_batch_neardup(df, bid, state_dir, cfg)
+        )
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_stream_ckpt_nd"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(url_a, url_b, score, batch_id) accumulated across batches."""
+    return spark.read.parquet(_pairs_path(state_dir)).withColumn(
+        "batch_id", F.col("batch_id").cast("long")
+    )

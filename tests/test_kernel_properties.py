@@ -1,0 +1,78 @@
+"""Property-based equivalence of the chunked-batch kernels vs their per-row
+reference implementations (hypothesis): the batch kernels process
+concatenated rows in cache-resident chunks with boundary masking, and any
+off-by-one at a chunk or row boundary silently corrupts signatures — these
+properties pin byte-exact equality on adversarial inputs (empty strings,
+chunk-straddling rows, repeated tokens, non-ASCII).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from europa_spark.minhash import (
+    _batch_shingle_hashes,
+    _minhash_of,
+    _perm_params,
+    _shingle_hashes_np,
+)
+from europa_spark.config import CANONICAL
+from europa_spark.substring import _batch_winnow, _winnow_np
+
+# words over a small alphabet force shingle collisions and repeats; the
+# occasional unicode char exercises the utf-8 byte path in winnowing
+_word = st.text(alphabet="abcé", min_size=1, max_size=4)
+_text = st.lists(_word, min_size=0, max_size=60).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=20), st.integers(2, 6))
+def test_batch_shingles_equal_per_row(texts, k):
+    batch = _batch_shingle_hashes(texts, k)
+    for t, got in zip(texts, batch):
+        cache: dict = {}
+        want = _shingle_hashes_np(t, k, cache)
+        assert np.array_equal(got, want), t
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=16))
+def test_minhash_deterministic_and_estimates(texts):
+    a, b = _perm_params(CANONICAL)
+    arrs = _batch_shingle_hashes(texts, CANONICAL.shingle_k)
+    m1 = _minhash_of(arrs, a, b, CANONICAL.num_perm)
+    m2 = _minhash_of(arrs, a, b, CANONICAL.num_perm)
+    for x, y in zip(m1, m2):
+        assert np.array_equal(x, y)
+    # identical shingle sets MUST give identical signatures
+    for i, t in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            if np.array_equal(arrs[i], arrs[j]):
+                assert np.array_equal(m1[i], m1[j])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(_text, min_size=1, max_size=12),
+    st.integers(2, 16),
+    st.integers(1, 16),
+)
+def test_batch_winnow_equal_per_row(texts, k, w):
+    batch = _batch_winnow(texts, k, w)
+    for t, got in zip(texts, batch):
+        want = _winnow_np(t, k, w)
+        assert np.array_equal(got, want), (t, k, w)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="abc ", min_size=200, max_size=400), st.integers(0, 150))
+def test_winnow_guarantee(doc, offset):
+    """Winnowing's defining property (Schleimer et al. 2003): two documents
+    sharing a substring of length >= k + w - 1 share >= 1 fingerprint."""
+    k, w = CANONICAL.winnow_kgram, CANONICAL.winnow_window
+    shared = "x" * (k + w - 1) + doc[:50]
+    d1 = doc[:offset] + shared + doc[offset:]
+    d2 = "zzz " + shared + " qqq"
+    f1, f2 = _batch_winnow([d1, d2], k, w)
+    assert set(f1.tolist()) & set(f2.tolist())

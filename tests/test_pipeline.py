@@ -140,3 +140,33 @@ def test_release_unpersists_everything(spark, docs_df):
     # checkpoint — it backs the returned components/clusters DataFrames and
     # is reclaimed by Spark's ContextCleaner once `out` is dropped
     assert len(leftover) <= 1, leftover
+
+
+def test_job_group_cancellation(spark):
+    """CancellationToken analog: cancelling the job group aborts an
+    in-flight action quickly instead of letting it run to completion."""
+    import threading
+    import time
+
+    from europa_spark.cancel import JobGroup
+
+    group = JobGroup(spark, "cancel-test")
+    err = {}
+
+    def slow_action():
+        with group:
+            try:
+                # ~minutes of work if not cancelled
+                spark.range(20_000_000_000).selectExpr("sum(id * id)").collect()
+            except Exception as e:  # noqa: BLE001 — wrapper type varies
+                err["e"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=slow_action)
+    t0 = time.time()
+    t.start()
+    time.sleep(3)  # let tasks start
+    group.cancel()
+    t.join(timeout=60)
+    assert not t.is_alive(), "action did not abort after cancel"
+    assert time.time() - t0 < 60
+    assert "cancel" in err.get("e", "").lower(), err.get("e", "no error raised")

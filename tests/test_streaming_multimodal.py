@@ -22,7 +22,14 @@ from europa_spark.multimodal import (
     phash64,
     with_media_metadata,
 )
-from europa_spark.streaming import process_batch, read_dup_log, start_incremental_dedup
+from europa_spark.streaming import (
+    process_batch,
+    process_batch_neardup,
+    read_dup_log,
+    read_neardup_pairs,
+    start_incremental_dedup,
+    start_incremental_neardup,
+)
 
 
 def _write_docs(path: str, rows: list[tuple[str, str]]) -> None:
@@ -58,6 +65,44 @@ def test_incremental_stream_dedup(spark, tmp_path):
 
     log2 = {(r["url"], r["duplicate_of"]) for r in read_dup_log(spark, state).collect()}
     assert log2 == {("u2", "u1"), ("u4", "u1")}, log2
+
+
+def _near_dup_texts():
+    base = " ".join(f"tok{i}" for i in range(120))
+    # one changed token kills <= 5 of ~116 shingles: J ~ 0.92 > 0.8
+    variant = " ".join("CHANGED" if i == 60 else f"tok{i}" for i in range(120))
+    unrelated = " ".join(f"zzz{i}" for i in range(120))
+    return base, variant, unrelated
+
+
+def test_incremental_stream_neardup(spark, tmp_path):
+    """Streaming MinHash/LSH dedup: batch-2 probes join the accumulated band
+    index; replay rewrites identical partitions (exactly-once)."""
+    src = tmp_path / "ndsrc"
+    state = str(tmp_path / "ndstate")
+    os.makedirs(src)
+    base, variant, unrelated = _near_dup_texts()
+
+    _write_docs(str(src / "b1.parquet"), [("n1", base), ("n2", unrelated)])
+    q = start_incremental_neardup(spark, str(src), state)
+    q.awaitTermination(120)
+    p1 = {(r["url_a"], r["url_b"]) for r in read_neardup_pairs(spark, state).collect()}
+    assert p1 == set()  # base vs unrelated: below threshold
+
+    _write_docs(str(src / "b2.parquet"), [("n3", variant)])
+    q = start_incremental_neardup(spark, str(src), state)
+    q.awaitTermination(120)
+    p2 = {(r["url_a"], r["url_b"]) for r in read_neardup_pairs(spark, state).collect()}
+    assert p2 == {("n1", "n3")}, p2
+
+    # replay of batch 1 (recovery semantics): identical rows, no dup pairs
+    b1 = spark.createDataFrame(
+        [("n3", None, None, variant, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    process_batch_neardup(b1, 1, state)
+    p3 = {(r["url_a"], r["url_b"]) for r in read_neardup_pairs(spark, state).collect()}
+    assert p3 == p2
 
 
 def test_media_metadata_and_signatures(spark):
