@@ -156,15 +156,25 @@ def test_job_group_cancellation(spark):
     def slow_action():
         with group:
             try:
-                # ~minutes of work if not cancelled
-                spark.range(20_000_000_000).selectExpr("sum(id * id)").collect()
+                # ~minutes of work if not cancelled; overflow-safe under
+                # Spark 4 ANSI mode (id % 7 stays tiny — sum(id*id) would
+                # raise ARITHMETIC_OVERFLOW and die before the cancel)
+                spark.range(200_000_000_000).selectExpr(
+                    "count(if(id % 7 = 0, 1, null)) AS n"
+                ).collect()
             except Exception as e:  # noqa: BLE001 — wrapper type varies
                 err["e"] = f"{type(e).__name__}: {e}"
 
     t = threading.Thread(target=slow_action)
     t0 = time.time()
     t.start()
-    time.sleep(3)  # let tasks start
+    # cancelJobGroup only cancels ALREADY-SUBMITTED jobs — cancelling before
+    # the action registers silently no-ops. Poll until the job is live.
+    tracker = spark.sparkContext.statusTracker()
+    while not tracker.getActiveJobsIds():
+        if time.time() - t0 > 30:
+            raise AssertionError("job never started")
+        time.sleep(0.05)
     group.cancel()
     t.join(timeout=60)
     assert not t.is_alive(), "action did not abort after cancel"
