@@ -20,8 +20,8 @@ from europa_spark.ann import (
     ann_lsh,
     embedding_dup_pairs_lsh,
     embedding_dup_pairs_sql,
-    knn_cosine,
-    knn_exact_quantized,
+    knn_cosine_blocked,
+    knn_exact_quantized_blocked,
     knn_exact_quantized_sql,
 )
 from europa_spark.config import CANONICAL
@@ -180,25 +180,51 @@ def _q_unigram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drained(build) -> DataFrame:
+    """Run a pair query with a local persist registry, materialize the
+    (small) result via an eager localCheckpoint, then unpersist every
+    intermediate frame — standalone gated queries otherwise leak storage
+    blocks for the session's lifetime (r2 ADVICE: minhash.py persist with
+    registry=None). The one surviving checkpoint block is reclaimed by
+    Spark's ContextCleaner once the result is dropped."""
+    reg: list[DataFrame] = []
+    out = build(reg).localCheckpoint(eager=True)
+    for f in reg:
+        f.unpersist()
+    return out
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH + exact-Jaccard verify. Oracle = brute-force exact
     Jaccard: identical output as long as LSH candidate recall is 1.0 at
     this scale (verification is exact, so false positives are impossible)."""
     clean = _clean(spark, sf_dir)
     reps = representatives(with_content_hash(clean)).select("url", "extracted")
-    return minhash_pairs(reps).select("url_a", "url_b", F.col("score").alias("jaccard"))
+    return _drained(
+        lambda reg: minhash_pairs(reps, registry=reg).select(
+            "url_a", "url_b", F.col("score").alias("jaccard")
+        )
+    )
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean(spark, sf_dir)
     reps = representatives(with_content_hash(clean)).select("url", "extracted")
-    return simhash_pairs(reps).select("url_a", "url_b", "score")
+    return _drained(
+        lambda reg: simhash_pairs(reps, registry=reg).select(
+            "url_a", "url_b", "score"
+        )
+    )
 
 
 def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean(spark, sf_dir)
     reps = representatives(with_content_hash(clean)).select("url", "extracted")
-    return substring_pairs(reps).select("url_a", "url_b", "score")
+    return _drained(
+        lambda reg: substring_pairs(reps, registry=reg).select(
+            "url_a", "url_b", "score"
+        )
+    )
 
 
 def _q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +253,11 @@ def _q_nearest_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one confirmed near-dup, its highest-Jaccard neighbor."""
     clean = _clean(spark, sf_dir)
     reps = representatives(with_content_hash(clean)).select("url", "extracted")
-    pairs = minhash_pairs(reps).select("url_a", "url_b", "score")
+    pairs = _drained(
+        lambda reg: minhash_pairs(reps, registry=reg).select(
+            "url_a", "url_b", "score"
+        )
+    )
     sym = pairs.unionByName(
         pairs.select(
             F.col("url_b").alias("url_a"), F.col("url_a").alias("url_b"), "score"
@@ -263,11 +293,16 @@ def _q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn_exact_quantized(load_embeddings(spark, sf_dir), k=5)
+    """Distributed exact top-k (block-grid cogroup, no driver collect /
+    broadcast — the 100-TB-shaped plan). Oracle = the relational all-pairs
+    SQL; identical rows because per-block top-k is decomposable and the
+    integer arithmetic is exact (r2 VERDICT #2: the collect+matmul variant
+    knn_exact_quantized stays as the in-repo baseline only)."""
+    return knn_exact_quantized_blocked(load_embeddings(spark, sf_dir), k=5)
 
 
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn_cosine(load_embeddings(spark, sf_dir), k=5)
+    return knn_cosine_blocked(load_embeddings(spark, sf_dir), k=5)
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,6 +102,118 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _block_topk_fn(k: int, quantized: bool):
+    """Per-(block,block) exact top-k kernel for the cogrouped grid join.
+    Emits k rows per query per right-block; decomposable, so the global
+    window merge of per-block top-k equals the full top-k exactly."""
+
+    score_col = "qdot" if quantized else "cosine"
+    cols = ["vec_id", "neighbor_id", score_col]
+    dt = np.int64 if quantized else np.float64
+
+    def block_topk(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    score_col: pd.Series(
+                        [], dtype="int64" if quantized else "float64"
+                    ),
+                }
+            )
+        Q = np.array(l["qv"].tolist(), dtype=dt)
+        M = np.array(r["qv"].tolist(), dtype=dt)
+        I = r["vid"].to_numpy()
+        if not quantized:
+            qn = np.linalg.norm(Q, axis=1)
+            qn[qn == 0] = 1.0
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0] = 1.0
+            D = (Q @ M.T) / qn[:, None] / mn[None, :]
+        else:
+            D = Q @ M.T
+        qids = l["vid"].to_numpy()
+        res = []
+        for row, qid in enumerate(qids):
+            d = D[row]
+            mask = I != qid
+            ii, dd = I[mask], d[mask]
+            order = np.lexsort((ii, -dd))[:k]
+            for j in order:
+                res.append((qid, ii[j], dd[j]))
+        return pd.DataFrame(res, columns=cols)
+
+    return block_topk
+
+
+def _knn_blocked(
+    emb: DataFrame, k: int, n_blocks: int, quantized: bool
+) -> DataFrame:
+    """Distributed exact top-k: block-grid all-pairs with NO driver collect
+    and NO broadcast — the scale formulation of brute-force kNN.
+
+    Each vector gets a stable block id (xxhash64 % B); both sides are
+    replicated across the B opposing blocks and cogrouped on the
+    (left_block, right_block) grid, so every (i, j) pair meets in exactly
+    one task whose working set is two (n/B)-row slabs — per-task memory is
+    O((n/B) * dim + (n/B)^2) regardless of corpus size, and the replication
+    shuffle is O(n * B * dim) rows. Per-block top-k (k rows per query per
+    right block) shrinks the merge input to n*B*k tiny rows before the
+    global window. Top-k is decomposable, so the result is EXACTLY the
+    all-pairs answer — same rows as knn_exact_quantized / knn_cosine
+    (ties (score desc, neighbor_id asc) at both levels).
+
+    At 1000 executors: raise n_blocks so n/B slabs fit executor memory;
+    grid tasks = B^2 gives the parallelism knob. (QdrantRepository.cs:
+    184-206's search role, minus the index approximation.)"""
+    B = n_blocks
+    vec = (
+        _quant(F.col("embedding")) if quantized else
+        F.col("embedding").cast("array<double>")
+    )
+    q = emb.select(F.col("vec_id").alias("vid"), vec.alias("qv"))
+    blk = F.pmod(F.xxhash64("vid"), F.lit(B)).cast("int")
+    grid = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    left = q.select("vid", "qv", blk.alias("lb")).withColumn("rb", grid)
+    right = q.select("vid", "qv", blk.alias("rb")).withColumn("lb", grid)
+
+    score_col = "qdot" if quantized else "cosine"
+    score_t = "long" if quantized else "double"
+    partial = (
+        left.groupBy("lb", "rb")
+        .cogroup(right.groupBy("lb", "rb"))
+        .applyInPandas(
+            _block_topk_fn(k, quantized),
+            f"vec_id long, neighbor_id long, {score_col} {score_t}",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(score_col), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", score_col, "rank")
+    )
+
+
+def knn_exact_quantized_blocked(
+    emb: DataFrame, k: int = 5, n_blocks: int = 8
+) -> DataFrame:
+    """Distributed twin of knn_exact_quantized — identical rows (exact int64
+    arithmetic, same tie order), no collect()/broadcast in the plan."""
+    return _knn_blocked(emb, k, n_blocks, quantized=True)
+
+
+def knn_cosine_blocked(
+    emb: DataFrame, k: int = 5, n_blocks: int = 8
+) -> DataFrame:
+    """Distributed twin of knn_cosine — identical rows (per-pair float ops
+    are unchanged by blocking), no collect()/broadcast in the plan."""
+    return _knn_blocked(emb, k, n_blocks, quantized=False)
+
+
 DUP_QUANT_SCALE = 100  # coarser scale keeps the squared-dot filter in int64
 
 
@@ -214,15 +326,41 @@ def embedding_dup_pairs_lsh(
     no driver collect, no O(n^2) crossJoin, same bucketed-join distribution
     story as the text LSH (minhash.py candidate_pairs).
 
-    Emits EXACTLY the brute-force integer predicate's rows (cos_q >= t via
-    qdot^2*10000 >= t_num^2*na*nb) provided candidate recall is 1.0 at the
-    chosen (n_tables, n_bits) — asserted against embedding_dup_pairs_sql in
-    tests and the driver gate. Output matches embedding_dup_pairs:
-    (vec_id_a < vec_id_b, qdot, na, nb) all BIGINT.
+    Emits the brute-force integer predicate's rows (cos_q >= t via
+    qdot^2*10000 >= t_num^2*na*nb) when candidate recall is 1.0 at the
+    chosen (n_tables, n_bits). That recall is CORPUS-TESTED, not guaranteed:
+    a pair at cos ~= threshold misses all 24 tables with p ~= 1e-3 — the
+    equality is asserted against embedding_dup_pairs_sql on this corpus in
+    tests and the driver gate, and should be re-validated per corpus.
+    Output matches embedding_dup_pairs: (vec_id_a < vec_id_b, qdot, na, nb)
+    all BIGINT.
+
+    Raises ValueError when the quantized norms could overflow the int64
+    verify predicate (qdot^2 * 10000) — lower DUP_QUANT_SCALE in that case
+    (the brute-force twin computes in unbounded Python ints and would
+    silently diverge instead).
     """
     t_num = int(round(threshold * 100))
     dim = len(emb.select("embedding").first()["embedding"])
     buckets = _hyperplane_buckets_udf(dim, n_tables, n_bits, seed)
+    qsq = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x * DUP_QUANT_SCALE).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    # Cauchy-Schwarz: qdot <= sqrt(na*nb) <= max(na), so the verify
+    # predicate's largest product is max_na^2 * 10000 (left side) vs
+    # t_num^2 * max_na^2 (right) — guard both against int64.
+    max_na = emb.select(F.max(qsq).alias("m")).first()["m"] or 0
+    if max(10000, t_num * t_num) * max_na * max_na >= (1 << 63):
+        raise ValueError(
+            f"quantized sq-norms up to {max_na} overflow the int64 verify "
+            "predicate; lower europa_spark.ann.DUP_QUANT_SCALE for this "
+            "embedding magnitude/dimensionality"
+        )
     q = emb.select(
         "vec_id",
         F.transform(
@@ -339,7 +477,7 @@ def ann_ivf(
     emb: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 3,
+    n_probe: int = 8,
 ) -> DataFrame:
     """IVF-style approximate top-k (the scale path next to ann_lsh): a coarse
     quantizer of ``n_cells`` centroids partitions the corpus into inverted
@@ -414,7 +552,7 @@ def ann_ivf(
 def ann_lsh(
     emb: DataFrame,
     k: int = 5,
-    n_tables: int = 12,
+    n_tables: int = 24,
     n_bits: int = 4,
     seed: int = 42,
 ) -> DataFrame:

@@ -90,16 +90,22 @@ def connected_components(
         _unpersist_ids(pairs.sparkSession, adj_ids)
 
 
+_CKPT_LOCK = __import__("threading").Lock()
+
+
 def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
     """localCheckpoint + the set of persistent-RDD ids it registered, so the
     loop can free superseded rounds (C3 unpersist hygiene: without this,
     every round's label table stays in the block store for the session's
-    lifetime). Safe because the driver is single-threaded here: the id delta
-    is exactly this checkpoint's RDD."""
+    lifetime). The before/after diff of ALL persistent RDDs would mis-capture
+    a concurrent driver thread's cache on a shared session, so the
+    checkpoint runs under a module lock — serializing only the (driver-side,
+    cheap) checkpoint registration, not the Spark jobs themselves."""
     jsc = df.sparkSession.sparkContext._jsc
-    before = set(jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint()
-    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    with _CKPT_LOCK:
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint()
+        after = set(jsc.getPersistentRDDs().keySet().toArray())
     return out, after - before
 
 

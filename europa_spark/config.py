@@ -40,6 +40,11 @@ class DedupConfig:
     # SimHash (FIXTURES.md §3)
     simhash_hamming_d: int = 3
     simhash_bands: int = 4               # 4 x 16-bit pigeonhole bands
+    # token hash feeding the SimHash bit votes: 'blake2b' (default, crypto
+    # mixing) or 'fnv1a' — FNV-1a-64 is a per-byte modular chain, so the
+    # whole signature is expressible in DuckDB HUGEINT SQL and the simhash
+    # gate gets a hard value oracle (r2 VERDICT #4 next-round item)
+    simhash_token_hash: str = "blake2b"
 
     # substring pass (winnowing; FIXTURES.md §3). Density = 2/(w+1): w=128
     # emits ~1 fingerprint per 64 chars instead of ~1 per 16 (4x fewer rows
@@ -54,6 +59,13 @@ class DedupConfig:
     # skew handling (north rule: explicit salting of hot LSH buckets)
     bucket_cap: int = 2000               # max rows per (band_idx, band_hash) bucket
     top_k_neighbors: int | None = None   # QdrantRepository.cs:192 limit=100; None = unlimited (recall-safe)
+
+    # join strategy: hint the small frames (winner urls, candidate url sets)
+    # for broadcast semi-joins. Set False beyond ~10^9 docs per job — the
+    # url sets outgrow executor memory there — and AQE plans a shuffle
+    # semi-join instead (r2 VERDICT #4: was an unconditional code-level hint
+    # whose break-at-scale fix needed a code edit).
+    broadcast_hints: bool = True
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
@@ -76,6 +88,8 @@ class DedupConfig:
             raise ValueError("min_bytes > max_bytes")
         if self.bucket_cap < 2:
             raise ValueError("bucket_cap must be >= 2")
+        if self.simhash_token_hash not in ("blake2b", "fnv1a"):
+            raise ValueError("simhash_token_hash must be 'blake2b' or 'fnv1a'")
 
     def config_hash(self) -> str:
         """Stable hash identifying this config — keys checkpoint rows so a

@@ -37,6 +37,16 @@ from pyspark.sql.types import ArrayType, LongType
 
 from .config import DedupConfig, CANONICAL
 
+
+def maybe_broadcast(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Broadcast hint gated by cfg.broadcast_hints: the small-side url sets
+    (winner urls ~25 B/doc, candidate urls post-LSH-selectivity) broadcast
+    at any sane per-job scale, but beyond ~10^9 docs the deployment flips
+    the config OFF and AQE plans a shuffle semi-join — no code edit
+    (r2 VERDICT #4)."""
+    return F.broadcast(df) if cfg.broadcast_hints else df
+
+
 _U64 = np.uint64
 # polynomial base for combining token hashes into shingle hashes (odd, fixed)
 _SHINGLE_BASE = _U64(0x9E3779B97F4A7C15)
@@ -388,19 +398,19 @@ def verify_pairs(
     radius-search selectivity), so pruning BEFORE the shingle UDF keeps the
     wide ~KB/row arrays out of the signature stage entirely — emitting them
     for every doc was the measured 32-core DRAM-bandwidth anti-scaler."""
-    # the broadcast ships only urls; at scales where the candidate url set
-    # outgrows broadcast, drop the hint and let AQE plan the semi-join
+    # the hint ships only urls; cfg.broadcast_hints=False at scales where
+    # the candidate url set outgrows broadcast (AQE plans the semi-join)
     needed = candidates.select(
         F.explode(F.array("url_a", "url_b")).alias("url")
     ).distinct()
     if "shingles" in sigs.columns:
         sh = sigs.select(F.col("url"), F.col("shingles")).join(
-            F.broadcast(needed), "url", "left_semi"
+            maybe_broadcast(needed, cfg), "url", "left_semi"
         )
     else:
         shingle_udf = make_shingle_udf(cfg)
         pruned = sigs.select("url", "extracted").join(
-            F.broadcast(needed), "url", "left_semi"
+            maybe_broadcast(needed, cfg), "url", "left_semi"
         )
         sh = pruned.select(
             "url", shingle_udf(F.col("extracted")).alias("shingles")

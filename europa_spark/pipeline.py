@@ -26,7 +26,7 @@ from .cluster import cluster_members, connected_components
 from .config import DedupConfig, CANONICAL
 from .exact import exact_pairs, exact_membership
 from .extract import split_quarantine, with_extracted
-from .minhash import minhash_pairs, with_signatures
+from .minhash import maybe_broadcast, minhash_pairs, with_signatures
 from .progress import ProgressTracker
 from .simhash import simhash_pairs
 from .substring import substring_pairs
@@ -156,12 +156,12 @@ def run(
     # (row_number window over clean) shuffled the WIDE extracted column
     # (~2.5 KB/row) through disk, a phase measured to run at identical wall
     # on 8 and 32 cores. Winner urls are ~25 B/doc; at scales beyond
-    # broadcast (>~10^9 docs per job) swap the hint for a shuffle semi-join
-    # on a bucketed layout.
+    # broadcast (>~10^9 docs per job) set cfg.broadcast_hints=False and AQE
+    # plans a shuffle semi-join on the bucketed layout.
     winners = membership.filter(
         F.col("url") == F.col("exact_group_id")
     ).select("url")
-    reps = clean.join(F.broadcast(winners), "url", "left_semi").select(
+    reps = clean.join(maybe_broadcast(winners, cfg), "url", "left_semi").select(
         "url", "extracted"
     )
 

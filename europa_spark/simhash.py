@@ -33,12 +33,31 @@ from .minhash import _token_hash
 _U64 = np.uint64
 _BIGRAM_MIX = _U64(0xC2B2AE3D27D4EB4F)
 
+# FNV-1a-64 (public domain constants) — the SQL-expressible token hash:
+# h = OFFSET; per byte: h = (h XOR b) * PRIME mod 2^64. The DuckDB twin
+# replays the identical chain in HUGEINT space (__spark_entry__._simhash_ctes)
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
 
-def _simhash_np(text: str, cache: dict) -> int:
+
+def _fnv1a64(tok: str, cache: dict) -> int:
+    h = cache.get(tok)
+    if h is None:
+        h = _FNV_OFFSET
+        for b in tok.encode("utf-8"):
+            h = ((h ^ b) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+        cache[tok] = h
+    return h
+
+
+_TOKEN_HASHES = {"blake2b": _token_hash, "fnv1a": _fnv1a64}
+
+
+def _simhash_np(text: str, cache: dict, token_hash=_token_hash) -> int:
     """64-bit SimHash over word unigrams + bigrams (FIXTURES.md §3)."""
     toks = text.split(" ")
     th = np.fromiter(
-        (_token_hash(t, cache) for t in toks), dtype=_U64, count=len(toks)
+        (token_hash(t, cache) for t in toks), dtype=_U64, count=len(toks)
     )
     if len(th) == 0:
         return 0
@@ -54,15 +73,20 @@ def _simhash_np(text: str, cache: dict) -> int:
     return sig - (1 << 64) if sig >= (1 << 63) else sig  # two's complement
 
 
-def make_simhash_udf():
+def make_simhash_udf(cfg: DedupConfig = CANONICAL):
     from pyspark.sql.functions import pandas_udf
+
+    token_hash = _TOKEN_HASHES[cfg.simhash_token_hash]
 
     @pandas_udf(LongType())
     def simhash64(text: pd.Series) -> pd.Series:
         cache: dict = {}
         return pd.Series(
             np.array(
-                [_simhash_np(t if t is not None else "", cache) for t in text],
+                [
+                    _simhash_np(t if t is not None else "", cache, token_hash)
+                    for t in text
+                ],
                 dtype=np.int64,
             )
         )
@@ -70,8 +94,8 @@ def make_simhash_udf():
     return simhash64
 
 
-def with_simhash(reps: DataFrame) -> DataFrame:
-    udf = make_simhash_udf()
+def with_simhash(reps: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
+    udf = make_simhash_udf(cfg)
     return reps.withColumn("simhash", udf(F.col("extracted")))
 
 
@@ -89,7 +113,7 @@ def simhash_pairs(
     if sigs is None:
         # shared by the band table and both hot/normal branches — persist so
         # the scan+UDF subtree is computed once (see minhash_pairs note)
-        sigs = with_simhash(reps).select("url", "simhash").persist()
+        sigs = with_simhash(reps, cfg).select("url", "simhash").persist()
         # eager: band table + stats join + both branches reference this in
         # one job (see minhash_pairs note on racing consumers)
         sigs.count()

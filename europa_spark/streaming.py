@@ -56,16 +56,27 @@ def _dup_log_path(state_dir: str) -> str:
     return os.path.join(state_dir, "dup_log")
 
 
+def _state_path_exists(spark: SparkSession, p: str) -> bool:
+    """Existence check via the Hadoop FS API (works for local/HDFS/S3 paths
+    alike) — so ONLY a genuinely-missing state dir reads as 'first batch'.
+    Catching any read exception here (the r2 design) would silently restart
+    dedup history on a corrupted or transiently-unreadable state dir."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(p)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(path)
+
+
 def _read_seen(spark: SparkSession, state_dir: str, before_batch: int) -> DataFrame:
     """Seen-state visible to ``before_batch``: only partitions committed by
-    EARLIER batches — a replayed batch never sees its own prior output."""
+    EARLIER batches — a replayed batch never sees its own prior output.
+    Read failures on an EXISTING dir (corruption, IO errors) propagate."""
     p = _seen_path(state_dir)
-    try:
-        df = spark.read.parquet(p)
-    except Exception:  # noqa: BLE001 — first batch: empty state
+    if not _state_path_exists(spark, p):
         return spark.createDataFrame(
             [], "content_hash string, first_url string"
         )
+    df = spark.read.parquet(p)
     return df.filter(F.col("batch_id") < before_batch).select(
         "content_hash", "first_url"
     )
@@ -165,10 +176,9 @@ def _pairs_path(state_dir: str) -> str:
 def _read_state(
     spark: SparkSession, path: str, schema: str, before_batch: int
 ) -> DataFrame:
-    try:
-        df = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — first batch: empty state
+    if not _state_path_exists(spark, path):  # first batch: empty state
         return spark.createDataFrame([], schema)
+    df = spark.read.parquet(path)  # corruption/IO errors propagate
     cols = [c.strip().split(" ")[0] for c in schema.split(",")]
     return df.filter(F.col("batch_id") < before_batch).select(*cols)
 

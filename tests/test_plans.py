@@ -39,6 +39,60 @@ def test_column_pruning_on_narrow_projection(spark, corpus_dir):
     assert "html" not in rs and "text" not in rs, rs
 
 
+def test_broadcast_hint_config_gated(spark, corpus_dir):
+    """r2 VERDICT #6: broadcast hints must be config-gated. Default cfg
+    still CHOOSES broadcast at test scale (the hint works); with
+    broadcast_hints=False the static plan contains no broadcast exchange
+    for the winners semi-join (AQE may still pick one at runtime from
+    actual sizes — that is the desired fallback, not a hint)."""
+    from europa_spark.exact import exact_membership
+    from europa_spark.extract import split_quarantine, with_extracted
+    from europa_spark.minhash import maybe_broadcast
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    clean, _ = split_quarantine(with_extracted(docs))
+    clean = clean.select("url", "warc_ts", "extracted")
+    membership = exact_membership(clean)
+    winners = membership.filter(
+        F.col("url") == F.col("exact_group_id")
+    ).select("url")
+
+    hinted = clean.join(
+        maybe_broadcast(winners, DedupConfig()), "url", "left_semi"
+    )
+    assert "BroadcastHashJoin" in _executed(hinted)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    unhinted = clean.join(
+        maybe_broadcast(winners, DedupConfig(broadcast_hints=False)),
+        "url",
+        "left_semi",
+    )
+    # no hint node in the plan — whatever join the optimizer picks now comes
+    # from its own stats/AQE, which is exactly the hints-off contract
+    assert (
+        "ResolvedHint"
+        not in unhinted._jdf.queryExecution().analyzed().toString()
+    )
+
+
+def test_pipeline_green_without_broadcast_hints(spark, corpus_dir):
+    """The hints-off deployment path (>10^9 docs) must produce identical
+    results, not just parse."""
+    from europa_spark.pipeline import run
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    on = run(docs)
+    off = run(docs, cfg=DedupConfig(broadcast_hints=False))
+    try:
+        assert sorted(map(tuple, on["report"].collect())) == sorted(
+            map(tuple, off["report"].collect())
+        )
+    finally:
+        on["release"]()
+        off["release"]()
+
+
 def test_exact_membership_shuffles_are_narrow(spark, corpus_dir):
     """The membership window shuffles (url, warc_ts, content_hash) — never
     the document text."""

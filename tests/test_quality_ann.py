@@ -72,8 +72,53 @@ def test_knn_quantized_agrees_with_cosine_mostly(spark, emb):
     assert agree > 0.6, agree  # quantized-dot vs cosine: same-norm-ish corpus
 
 
+def test_knn_blocked_equals_baseline(spark, emb):
+    """The distributed block-grid kNN (gated plan) must return EXACTLY the
+    collect+matmul baseline's rows for the quantized path (exact int64
+    arithmetic, decomposable top-k), and the same neighbor/rank sets with
+    <=1-ulp score drift for the float path (BLAS accumulation order)."""
+    from europa_spark.ann import (
+        knn_cosine_blocked,
+        knn_exact_quantized_blocked,
+    )
+
+    base_q = knn_exact_quantized(emb, k=5).orderBy("vec_id", "rank").collect()
+    blk_q = (
+        knn_exact_quantized_blocked(emb, k=5, n_blocks=4)
+        .orderBy("vec_id", "rank")
+        .collect()
+    )
+    assert base_q == blk_q
+    base_c = knn_cosine(emb, k=5).orderBy("vec_id", "rank").collect()
+    blk_c = knn_cosine_blocked(emb, k=5, n_blocks=4).orderBy("vec_id", "rank").collect()
+    assert [(r["vec_id"], r["neighbor_id"], r["rank"]) for r in base_c] == [
+        (r["vec_id"], r["neighbor_id"], r["rank"]) for r in blk_c
+    ]
+    assert all(
+        abs(a["cosine"] - b["cosine"]) < 1e-12 for a, b in zip(base_c, blk_c)
+    )
+
+
+def test_knn_blocked_plan_is_distributed(spark, emb):
+    """r2 VERDICT #2: the GATED exact-kNN plan may not collect to the driver
+    or broadcast the embedding table — it must be the cogrouped grid join."""
+    from europa_spark.ann import knn_exact_quantized_blocked
+
+    plan = (
+        knn_exact_quantized_blocked(emb, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ann_lsh_recall(spark, emb):
-    """LSH ANN must reach decent recall@5 vs brute force on 500 vecs."""
+    """LSH ANN recall@5 vs brute force on 500 vecs — default params
+    (24 tables x 4 bits) measure 0.96 here; gate at 0.9 (r2 VERDICT #7:
+    0.7 was a low bar)."""
     truth = {
         (r["vec_id"], r["neighbor_id"]) for r in knn_cosine(emb, k=5).collect()
     }
@@ -82,7 +127,7 @@ def test_ann_lsh_recall(spark, emb):
         for r in ann_lsh(emb, k=5).collect()
     }
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.7, recall
+    assert recall >= 0.9, recall
 
 
 def test_ann_ivf_recall_and_shape(spark, emb):
@@ -93,16 +138,20 @@ def test_ann_ivf_recall_and_shape(spark, emb):
     truth = {
         (r["vec_id"], r["neighbor_id"]) for r in knn_cosine(emb, k=5).collect()
     }
-    rows = ann_ivf(emb, k=5, n_cells=16, n_probe=6).collect()
+    rows = ann_ivf(emb, k=5).collect()  # defaults: 16 cells, 8 probes
     got = {(r["vec_id"], r["neighbor_id"]) for r in rows}
     assert all(a != b for a, b in got)
     assert all(1 <= r["rank"] <= 5 for r in rows)
     recall = len(truth & got) / len(truth)
     # near-uniform random embeddings are IVF's worst case (no cluster
-    # structure); 6/16 cells probed must still reach > 0.55
-    assert recall >= 0.55, recall
+    # structure); defaults measure 0.834 here — gate at 0.8 (r2 VERDICT #7)
+    assert recall >= 0.8, recall
+    # deeper probing must push past 0.9 (measured 0.946 at n_probe=12)
+    deep = {(r["vec_id"], r["neighbor_id"]) for r in
+            ann_ivf(emb, k=5, n_cells=16, n_probe=12).collect()}
+    assert len(truth & deep) / len(truth) >= 0.9
     again = {(r["vec_id"], r["neighbor_id"]) for r in
-             ann_ivf(emb, k=5, n_cells=16, n_probe=6).collect()}
+             ann_ivf(emb, k=5).collect()}
     assert got == again
 
 

@@ -67,6 +67,31 @@ def test_incremental_stream_dedup(spark, tmp_path):
     assert log2 == {("u2", "u1"), ("u4", "u1")}, log2
 
 
+def test_corrupted_state_raises_not_restarts(spark, tmp_path):
+    """A corrupted (existing but unreadable) state dir must RAISE, not be
+    silently treated as 'first batch, empty state' — the r2 design swallowed
+    any read exception and would re-admit every duplicate with wrong state
+    (ADVICE r2: narrow to missing-path only)."""
+    import pytest
+
+    from europa_spark.streaming import _read_seen, _read_state
+
+    state = tmp_path / "corrupt_state"
+    seen = state / "seen"
+    os.makedirs(seen)
+    (seen / "part-00000.parquet").write_bytes(b"this is not parquet at all")
+    with pytest.raises(Exception):
+        _read_seen(spark, str(state), before_batch=1).collect()
+    with pytest.raises(Exception):
+        _read_state(
+            spark, str(seen), "content_hash string, first_url string", 1
+        ).collect()
+
+    # a genuinely MISSING dir still reads as empty first-batch state
+    empty = _read_seen(spark, str(tmp_path / "never_written"), 1)
+    assert empty.count() == 0
+
+
 def _near_dup_texts():
     base = " ".join(f"tok{i}" for i in range(120))
     # one changed token kills <= 5 of ~116 shingles: J ~ 0.92 > 0.8
