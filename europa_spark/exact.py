@@ -48,6 +48,8 @@ def with_content_hash(
     which preserves grouping semantics: non-survivors can never be dups).
     """
     if not use_cascade:
+        if "content_hash" in clean.columns:
+            return clean  # precomputed into the clean cache (pipeline.run)
         return clean.withColumn("content_hash", content_hash_col())
 
     keyed = clean.withColumn("prefix_key", prefix_key_col(cfg))

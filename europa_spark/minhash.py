@@ -295,6 +295,51 @@ def make_minhash_only_udf(cfg: DedupConfig = CANONICAL):
     return minhash_only
 
 
+def make_dual_signature_udf(cfg: DedupConfig = CANONICAL):
+    """MinHash signature + winnowing fingerprints in ONE pandas UDF — a
+    single Arrow transfer of the text instead of two full passes (the
+    r2-measured scaling bottleneck is bytes moved, not CPU: the text column
+    dominates every stream, so the minhash and substring passes sharing one
+    JVM->Python crossing halves the pipeline's largest byte flow). Output
+    stays narrow: 128-long minhash (~1 KB) + winnow fingerprints (~320 B at
+    w=128 on ~2.5 KB docs); shingle arrays never leave the worker."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .substring import _batch_winnow
+
+    k = cfg.shingle_k
+    a, b = _perm_params(cfg)
+    num_perm = cfg.num_perm
+    kw, w = cfg.winnow_kgram, cfg.winnow_window
+
+    @pandas_udf("minhash array<bigint>, fps array<bigint>")
+    def dual_signature(text: pd.Series) -> pd.DataFrame:
+        ts = [t if t is not None else "" for t in text]
+        arrs = _batch_shingle_hashes(ts, k)
+        mins = _minhash_of(arrs, a, b, num_perm)
+        fps = _batch_winnow(ts, kw, w)
+        return pd.DataFrame(
+            {
+                "minhash": pd.Series(mins, dtype=object),
+                "fps": pd.Series([f.view(np.int64) for f in fps], dtype=object),
+            }
+        )
+
+    return dual_signature
+
+
+def with_dual_signatures(reps: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
+    """reps(url, extracted) -> (uid, url, minhash, fps): the one-pass
+    signature table feeding BOTH the LSH band join and the substring
+    fingerprint join (uid = the substring pass's compact 8-byte key)."""
+    dual = make_dual_signature_udf(cfg)
+    return reps.select(
+        F.xxhash64("url").alias("uid"),
+        "url",
+        dual(F.col("extracted")).alias("s"),
+    ).select("uid", "url", F.col("s.minhash").alias("minhash"), F.col("s.fps").alias("fps"))
+
+
 def with_signatures(
     reps: DataFrame,
     cfg: DedupConfig = CANONICAL,

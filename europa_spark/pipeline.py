@@ -24,9 +24,14 @@ from pyspark.sql import functions as F
 from .checkpoint import CheckpointStore
 from .cluster import cluster_members, connected_components
 from .config import DedupConfig, CANONICAL
-from .exact import exact_pairs, exact_membership
+from .exact import content_hash_col, exact_pairs, exact_membership
 from .extract import split_quarantine, with_extracted
-from .minhash import maybe_broadcast, minhash_pairs, with_signatures
+from .minhash import (
+    maybe_broadcast,
+    minhash_pairs,
+    with_dual_signatures,
+    with_signatures,
+)
 from .progress import ProgressTracker
 from .simhash import simhash_pairs
 from .substring import substring_pairs
@@ -138,8 +143,26 @@ def run(
     # pruning on a checkpoint table).
     # clean is consumed by 3+ concurrent branches of the first job
     # (membership, reps->signatures, substring) — eager, or the scan+regex
-    # extract chain re-runs per branch
-    clean = _materialize(clean.select("url", "warc_ts", "extracted"))
+    # extract chain re-runs per branch. Tracked as its own stage (timing
+    # only — no checkpoint table) so the scaling profile attributes the
+    # scan+extract+cache bytes to the right phase.
+    _t0 = tracker.begin("extract_clean") if tracker is not None else _time.time()
+    try:
+        # content_hash is computed INTO the cache (sha2 is CPU, which
+        # scales; a separate hashing pass would re-stream the 2.5 KB/row
+        # text column out of the cache — bytes, which don't): membership
+        # then reads only (url, ts, 64 B hash) via columnar pruning
+        clean = _materialize(
+            clean.select("url", "warc_ts", "extracted").withColumn(
+                "content_hash", content_hash_col()
+            )
+        )
+    finally:
+        if tracker is not None:
+            tracker.end("extract_clean", _t0)
+        if _timing:
+            print(f"STAGE extract_clean: {_time.time()-_t0:.2f}s",
+                  file=_sys.stderr, flush=True)
     # quarantine stays lazy without a store: it is an output, not an input
     # of any later stage — eager materialization would bill a full extra
     # extract pass to every pipeline run that never reads it
@@ -171,9 +194,34 @@ def run(
     if "minhash" in methods or "substring" in methods or "simhash" in methods:
         # signatures are the expensive stage — checkpoint them so a resumed
         # run skips straight to pairing (J5 cache-hit semantics)
-        if "minhash" in methods:
-            # narrow to the signature columns: extracted rides on reps and
-            # would otherwise be persisted twice (clean + sigs)
+        if "minhash" in methods and "substring" in methods:
+            # ONE-PASS signatures: minhash + winnow fingerprints computed in
+            # a single Arrow transfer of the text (the text column is the
+            # pipeline's dominant byte stream and bytes-moved is the
+            # measured scaling ceiling — two separate full passes was the
+            # r2 design). Narrow output (~1.3 KB/row); wide shingle arrays
+            # never leave the Python worker. Eager: band stats + band join
+            # + all three substring consumers race this frame.
+            dual = stage(
+                "signatures",
+                lambda: _materialize(with_dual_signatures(reps, cfg)),
+            )
+            sigs = dual.select("url", "minhash")
+            pair_frames.append(
+                stage(
+                    "pairs_minhash",
+                    lambda: minhash_pairs(reps, cfg, sigs=sigs, registry=persisted),
+                )
+            )
+            pair_frames.append(
+                stage(
+                    "pairs_substring",
+                    lambda: substring_pairs(
+                        reps, cfg, registry=persisted, fp_arrays=dual
+                    ),
+                )
+            )
+        elif "minhash" in methods:
             # narrow minhash-only signatures (~1 KB/row; the wide shingle
             # arrays stay in the Python worker — emitting+caching them for
             # every doc was the 32-core DRAM anti-scaler, r02 profile).
@@ -192,7 +240,7 @@ def run(
                     lambda: minhash_pairs(reps, cfg, sigs=sigs, registry=persisted),
                 )
             )
-        if "substring" in methods:
+        elif "substring" in methods:
             pair_frames.append(
                 stage(
                     "pairs_substring",

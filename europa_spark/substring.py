@@ -129,34 +129,45 @@ def substring_pairs(
     cfg: DedupConfig = CANONICAL,
     max_df: int = WINNOW_MAX_DF,
     registry: list | None = None,
+    fp_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """reps(url, extracted) -> confirmed substring pairs.
 
     explode fingerprints -> drop stop-fingerprints (df > max_df) -> self
     equi-join -> vote count >= cfg.substring_votes (the A6 collision-counting
     aggregation, exactly the LSH shape).
+
+    ``fp_arrays``: optional precomputed (uid, url, fps) relation — the
+    pipeline passes the dual-signature table so the text crosses to Python
+    once for minhash AND winnowing (minhash.with_dual_signatures); it must
+    already be materialized.
     """
-    fp_udf = make_winnow_udf(cfg)
-    # shuffle-volume optimization: the fingerprint relations carry a compact
-    # 8-byte doc key instead of the url string (~45 B); urls are restored by
-    # joining the small (uid, url) map onto the final pair rows only.
-    # (64-bit keys are collision-safe to ~10^9 docs per partition-job; the
-    # 10^12-scale deployment note in SURVEY.md §4 calls for a 128-bit key.)
-    keyed = reps.select(F.xxhash64("url").alias("uid"), "url", "extracted")
-    # the winnow kernel is the expensive part and this DAG consumes the
-    # fingerprint relation three times (df-count branch + both self-join
-    # sides): materialize the compact (uid, url, fps) arrays once and explode
-    # JVM-side per consumer. With a checkpoint store this would be the
-    # fingerprints table; localCheckpoint is the in-session stand-in.
-    fp_arrays = keyed.select(
-        "uid", "url", fp_udf(F.col("extracted")).alias("fps")
-    ).persist()
-    # eager: 3 consumers (df-cap count + both self-join sides) race this
-    # relation inside one job — without the barrier the winnow UDF re-runs
-    # per consumer stage
-    fp_arrays.count()
-    if registry is not None:
-        registry.append(fp_arrays)
+    if fp_arrays is None:
+        fp_udf = make_winnow_udf(cfg)
+        # shuffle-volume optimization: the fingerprint relations carry a
+        # compact 8-byte doc key instead of the url string (~45 B); urls are
+        # restored by joining the small (uid, url) map onto the final pair
+        # rows only. (64-bit keys are collision-safe to ~10^9 docs per
+        # partition-job; the 10^12-scale deployment note in SURVEY.md §4
+        # calls for a 128-bit key.)
+        keyed = reps.select(F.xxhash64("url").alias("uid"), "url", "extracted")
+        # the winnow kernel is the expensive part and this DAG consumes the
+        # fingerprint relation three times (df-count branch + both self-join
+        # sides): materialize the compact (uid, url, fps) arrays once and
+        # explode JVM-side per consumer. With a checkpoint store this would
+        # be the fingerprints table; localCheckpoint is the in-session
+        # stand-in.
+        fp_arrays = keyed.select(
+            "uid", "url", fp_udf(F.col("extracted")).alias("fps")
+        ).persist()
+        # eager: 3 consumers (df-cap count + both self-join sides) race this
+        # relation inside one job — without the barrier the winnow UDF
+        # re-runs per consumer stage
+        fp_arrays.count()
+        if registry is not None:
+            registry.append(fp_arrays)
+    else:
+        fp_arrays = fp_arrays.select("uid", "url", "fps")
     id_map = fp_arrays.select("uid", "url")
     # fingerprints are np.unique'd per doc inside the kernel, so (uid, fp)
     # is already distinct — no dedup shuffle needed

@@ -36,9 +36,12 @@ LEVELS = (8, 32)
 SHUFFLE_PARTS = int(os.environ.get("EUROPA_SHUFFLE_PARTS", "32"))
 
 
-def one_run(cpus: int, corpus_dir: str) -> float:
-    """One full pipeline run in a fresh SparkContext at local[cpus]."""
+def one_run(cpus: int, corpus_dir: str) -> tuple[float, dict[str, float]]:
+    """One full pipeline run in a fresh SparkContext at local[cpus].
+    Returns (wall, per-stage seconds) — stage walls from the S5 progress
+    stream; 'outputs' is the residual (final report/cluster actions)."""
     from europa_spark.pipeline import run
+    from europa_spark.progress import ProgressTracker
     from europa_spark.session import build_session
 
     spark = build_session(
@@ -48,35 +51,65 @@ def one_run(cpus: int, corpus_dir: str) -> float:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    tracker = ProgressTracker()
     t0 = time.time()
-    out = run(docs)
+    out = run(docs, tracker=tracker)
     out["report"].count()
     out["clusters"].count()
     wall = time.time() - t0
+    stages = {
+        e.stage: round(e.wall_ms / 1000.0, 2)
+        for e in tracker.events
+        if e.kind == "end" and e.wall_ms is not None
+    }
+    stages["outputs"] = round(wall - sum(stages.values()), 2)
     del out
     spark.stop()
     gc.collect()
     time.sleep(1)
-    return wall
+    return wall, stages
 
 
-def timed_runs(corpus_dir: str) -> dict[int, list[float]]:
+def timed_runs(
+    corpus_dir: str,
+) -> tuple[dict[int, list[float]], dict[int, list[dict[str, float]]]]:
     for cpus in LEVELS:  # discarded warmup pair (JIT + python-worker spawn)
         one_run(cpus, corpus_dir)
     walls: dict[int, list[float]] = {c: [] for c in LEVELS}
+    stage_runs: dict[int, list[dict[str, float]]] = {c: [] for c in LEVELS}
     for _ in range(RUNS):
         for cpus in LEVELS:  # interleaved: noise hits both levels alike
-            w = one_run(cpus, corpus_dir)
+            w, st = one_run(cpus, corpus_dir)
             walls[cpus].append(w)
-            print(f"  local[{cpus}] run: {w:.1f}s", flush=True)
-    return walls
+            stage_runs[cpus].append(st)
+            print(f"  local[{cpus}] run: {w:.1f}s {st}", flush=True)
+    return walls, stage_runs
 
 
 def main() -> None:
     n_rows = int(os.environ.get("EUROPA_BENCH_ROWS", "200000"))
     corpus_dir = ensure_bench_corpus()
     results = {}
-    all_walls = timed_runs(corpus_dir)
+    all_walls, stage_runs = timed_runs(corpus_dir)
+    # per-stage best-of walls per level + per-stage efficiency: the
+    # stage-level 8-vs-32 evidence the aggregate number hides
+    stage_names = sorted({k for runs in stage_runs.values() for r in runs for k in r})
+    stage_table = {}
+    for s in stage_names:
+        best = {
+            c: min((r.get(s) for r in stage_runs[c] if r.get(s) is not None),
+                   default=None)
+            for c in LEVELS
+        }
+        if best[LEVELS[0]] and best[LEVELS[1]] and best[LEVELS[1]] > 0:
+            eff = (best[LEVELS[0]] / best[LEVELS[1]]) / (LEVELS[1] / LEVELS[0])
+        else:
+            eff = None
+        stage_table[s] = {
+            "best_8": best[LEVELS[0]],
+            "best_32": best[LEVELS[1]],
+            "efficiency": round(eff, 3) if eff is not None else None,
+        }
     for cpus in LEVELS:
         walls = all_walls[cpus]
         med = statistics.median(walls)
@@ -101,6 +134,7 @@ def main() -> None:
         "value": round(efficiency, 3),
         "unit": "ratio",
         "levels": results,
+        "stages": stage_table,
         "rows": n_rows,
         "protocol": "%d interleaved fresh-context runs per level after 1 "
         "warmup pair, identical conf, local[8] vs local[32], "
@@ -144,7 +178,16 @@ Reference numbers: the reference (belloabdoul/Europa) publishes no
 throughput figures (README.md has no perf section); the BASELINE.json gates
 are recall >= 0.99 (met — see tests/test_pipeline.py::test_dup_pair_recall)
 and the scaling efficiency above.
+
+## Per-stage best-of walls (stage-level 8-vs-32 evidence)
+
+| stage | best local[8] (s) | best local[32] (s) | efficiency |
+|---|---|---|---|
 """
+            + "".join(
+                f"| {s} | {v['best_8']} | {v['best_32']} | {v['efficiency']} |\n"
+                for s, v in stage_table.items()
+            )
         )
     print("wrote BENCH/LATEST_RUN.md + BENCH/runs.jsonl")
 
