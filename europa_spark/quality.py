@@ -54,6 +54,18 @@ def stopword_count(text: Column, stops: tuple[str, ...] = STOPWORDS_EN) -> Colum
     return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(sset, t)))
 
 
+# GPT-2-style pre-tokenizer shape, lookahead-free so the Java (Spark) and
+# RE2 (DuckDB) engines count identically: contractions, optionally-space-
+# prefixed letter runs / digit runs / punctuation runs. Counting matches of
+# this pattern is the standard cheap estimate of BPE token count for
+# training-data budgeting (whitespace token_count above is the other tier).
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
+
+
 def marker_count(text: Column, markers: tuple[str, ...]) -> Column:
     mset = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(mset, t)))
@@ -77,6 +89,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ((F.length(t) - n_tok + 1) / n_tok).alias("mean_token_len"),
         (stopword_count(t) / n_tok).alias("stopword_ratio"),
         (punct_count(t) / F.length(t)).alias("punct_ratio"),
+        bpe_token_estimate(t).cast("long").alias("bpe_token_estimate"),
     )
 
 
@@ -84,6 +97,7 @@ def quality_features_sql(doc_source_sql: str) -> str:
     """DuckDB twin of quality_features; doc_source_sql must yield
     (url, text)."""
     stops = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    bpe_pat = BPE_SPLIT_PATTERN.replace("'", "''")  # SQL string escaping
     return f"""
 WITH d AS ({doc_source_sql}),
 t AS (
@@ -100,7 +114,9 @@ SELECT
   len(list_filter(toks, x -> x IN ({stops}))) / CAST(len(toks) AS DOUBLE)
     AS stopword_ratio,
   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / CAST(n_chars AS DOUBLE)
-    AS punct_ratio
+    AS punct_ratio,
+  CAST(len(regexp_extract_all(text,
+       '{bpe_pat}')) AS BIGINT) AS bpe_token_estimate
 FROM t
 """
 

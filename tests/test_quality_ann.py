@@ -25,6 +25,9 @@ def test_quality_features_values(spark):
     assert r["punct_ratio"] == 2 / 17
     assert r["stopword_ratio"] == 2 / 4  # 'the' twice ('cat,' has punct)
     assert got["u2"]["stopword_ratio"] == 0.0
+    # BPE-ish estimate: "the|cat|,|the|hat|!" -> 6; "one|two|three" -> 3
+    assert r["bpe_token_estimate"] == 6
+    assert got["u2"]["bpe_token_estimate"] == 3
 
 
 def test_language_id_markers(spark):
