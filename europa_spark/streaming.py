@@ -248,3 +248,85 @@ def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(_pairs_path(state_dir)).withColumn(
         "batch_id", F.col("batch_id").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SUBSTRING dedup: the winnowing path under foreachBatch — same
+# exactly-once per-batch-partition scheme; fingerprints accumulate as the
+# index, each batch's new docs probe it (substring.incremental_substring_pairs).
+# Completes §2.8 coverage across all three dedup methods (exact, minhash,
+# substring).
+# ---------------------------------------------------------------------------
+
+
+def _fps_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "fps")
+
+
+def _sub_pairs_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "sub_pairs")
+
+
+def process_batch_substring(
+    batch_df: DataFrame, batch_id: int, state_dir: str, cfg=None
+) -> None:
+    """One micro-batch of incremental winnowing dedup. Deterministic given
+    (batch rows, state with batch_id < batch_id) — replays rewrite
+    identical partitions."""
+    from .config import CANONICAL
+    from .exact import representatives, with_content_hash
+    from .substring import incremental_substring_pairs
+
+    cfg = cfg or CANONICAL
+    spark = batch_df.sparkSession
+    clean, _ = split_quarantine(with_extracted(batch_df))
+    new_reps = representatives(with_content_hash(clean, cfg)).select(
+        "url", "extracted"
+    )
+    existing_fps = _read_state(
+        spark, _fps_path(state_dir),
+        "uid bigint, url string, fps array<bigint>", batch_id,
+    )
+    existing_pairs = _read_state(
+        spark, _sub_pairs_path(state_dir),
+        "url_a string, url_b string, score double", batch_id,
+    )
+    new_fps, new_pairs = incremental_substring_pairs(
+        existing_fps, new_reps, cfg, existing_pairs=existing_pairs
+    )
+    new_fps.select("uid", "url", "fps").write.mode("overwrite").parquet(
+        os.path.join(_fps_path(state_dir), f"batch_id={batch_id}")
+    )
+    new_pairs.select("url_a", "url_b", "score").write.mode("overwrite").parquet(
+        os.path.join(_sub_pairs_path(state_dir), f"batch_id={batch_id}")
+    )
+
+
+def start_incremental_substring(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    cfg=None,
+):
+    """availableNow streaming substring-dup query over a documents dir."""
+    os.makedirs(state_dir, exist_ok=True)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: process_batch_substring(df, bid, state_dir, cfg)
+        )
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_stream_ckpt_sub"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_substring_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(url_a, url_b, score, batch_id) accumulated across batches."""
+    return spark.read.parquet(_sub_pairs_path(state_dir)).withColumn(
+        "batch_id", F.col("batch_id").cast("long")
+    )

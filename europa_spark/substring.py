@@ -202,3 +202,76 @@ def substring_pairs(
             F.col("votes").cast("double").alias("score"),
         )
     )
+
+
+def with_fingerprints(reps: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
+    """reps(url, extracted) -> (uid, url, fps): the keyed winnow-fingerprint
+    arrays (the substring pass's checkpointable signature table)."""
+    fp_udf = make_winnow_udf(cfg)
+    return reps.select(
+        F.xxhash64("url").alias("uid"), "url",
+        fp_udf(F.col("extracted")).alias("fps"),
+    )
+
+
+def incremental_substring_pairs(
+    existing_fps: DataFrame,
+    new_reps: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    max_df: int = WINNOW_MAX_DF,
+    existing_pairs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Delta compute for newly-arrived documents (J4/J5 resume semantics,
+    mirroring minhash.incremental_minhash_pairs): cached fingerprints are
+    never recomputed; probes are ONLY the new docs' fingerprints, joined
+    against the full accumulated index; already-confirmed pairs are
+    anti-joined away.
+
+    Returns (new_fps, new_pairs): new_pairs touches at least one new doc.
+    The stop-fingerprint df-cap is evaluated over the FULL index so a
+    boilerplate fingerprint stays capped as its document frequency grows
+    across batches.
+    """
+    cols = ["uid", "url", "fps"]
+    new_fps = with_fingerprints(new_reps, cfg)
+    all_fps = existing_fps.select(*cols).unionByName(new_fps.select(*cols))
+    index = all_fps.select("uid", "url", F.explode("fps").alias("fp"))
+    rare = (
+        index.groupBy("fp")
+        .count()
+        .filter((F.col("count") > 1) & (F.col("count") <= max_df))
+        .select("fp")
+    )
+    probes = (
+        new_fps.select("uid", "url", F.explode("fps").alias("fp")).join(rare, "fp")
+    )
+    indexed = index.join(rare, "fp")
+    # (probe=new) x (index=all): new-vs-old pairs appear once per shared fp,
+    # new-vs-new twice (both directions) — canonicalize + distinct before
+    # counting votes (fps are per-doc distinct, so (a, b, fp) is unique)
+    hits = (
+        probes.alias("p")
+        .join(indexed.alias("i"), "fp")
+        .filter(F.col("p.uid") != F.col("i.uid"))
+        .select(
+            F.least("p.url", "i.url").alias("url_a"),
+            F.greatest("p.url", "i.url").alias("url_b"),
+            "fp",
+        )
+        .distinct()
+    )
+    votes = (
+        hits.groupBy("url_a", "url_b")
+        .agg(F.count("*").alias("votes"))
+        .filter(F.col("votes") >= cfg.substring_votes)
+    )
+    pairs = votes.select(
+        "url_a", "url_b",
+        F.lit("substring").alias("method"),
+        F.col("votes").cast("double").alias("score"),
+    )
+    if existing_pairs is not None:
+        pairs = pairs.join(
+            existing_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
+        )
+    return new_fps, pairs

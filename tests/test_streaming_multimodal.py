@@ -67,6 +67,84 @@ def test_incremental_stream_dedup(spark, tmp_path):
     assert log2 == {("u2", "u1"), ("u4", "u1")}, log2
 
 
+def test_incremental_stream_substring(spark, tmp_path):
+    """Streaming winnowing dedup: a verbatim block shared across batches is
+    found when the second batch probes the accumulated fingerprint index;
+    replay rewrites identical partitions (exactly-once)."""
+    from europa_spark.streaming import (
+        process_batch_substring,
+        read_substring_pairs,
+        start_incremental_substring,
+    )
+
+    src = tmp_path / "subsrc"
+    state = str(tmp_path / "substate")
+    os.makedirs(src)
+    block = " ".join(f"copied{i}" for i in range(100))  # ~780 chars shared
+    doc_a = "unique lead-in alpha " + block + " unique tail one"
+    doc_b = "totally different start " + block + " and another ending"
+    far = " ".join(f"noise{i}" for i in range(120))
+
+    _write_docs(str(src / "b1.parquet"), [("s1", doc_a), ("s2", far)])
+    q = start_incremental_substring(spark, str(src), state)
+    q.awaitTermination(120)
+    p1 = {(r["url_a"], r["url_b"]) for r in read_substring_pairs(spark, state).collect()}
+    assert p1 == set()
+
+    _write_docs(str(src / "b2.parquet"), [("s3", doc_b)])
+    q = start_incremental_substring(spark, str(src), state)
+    q.awaitTermination(120)
+    p2 = {(r["url_a"], r["url_b"]) for r in read_substring_pairs(spark, state).collect()}
+    assert p2 == {("s1", "s3")}, p2
+
+    # replay of batch 1 (recovery): identical rows, no new pairs
+    b1 = spark.createDataFrame(
+        [("s3", None, None, doc_b, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    process_batch_substring(b1, 1, state)
+    p3 = {(r["url_a"], r["url_b"]) for r in read_substring_pairs(spark, state).collect()}
+    assert p3 == p2
+
+
+def test_incremental_substring_matches_batch(spark):
+    """Two-batch incremental result == one-shot batch substring_pairs over
+    the union (df-cap far from binding here)."""
+    from europa_spark.substring import (
+        incremental_substring_pairs,
+        substring_pairs,
+        with_fingerprints,
+    )
+
+    block = " ".join(f"shared{i}" for i in range(90))
+    rows = [
+        ("u1", "aaa " + block + " zzz"),
+        ("u2", " ".join(f"n{i}" for i in range(110))),
+        ("u3", "bbb " + block + " qqq"),
+        ("u4", "ccc " + block + " rrr"),
+    ]
+    df = spark.createDataFrame(rows, "url string, extracted string")
+    batch = {
+        (r["url_a"], r["url_b"], r["score"])
+        for r in substring_pairs(df).collect()
+    }
+    first = df.filter(F.col("url").isin("u1", "u2"))
+    second = df.filter(F.col("url").isin("u3", "u4"))
+    fps1, pairs1 = incremental_substring_pairs(
+        first.sparkSession.createDataFrame(
+            [], "uid bigint, url string, fps array<bigint>"
+        ),
+        first,
+    )
+    fps1 = fps1.localCheckpoint()
+    inc1 = {(r["url_a"], r["url_b"], r["score"]) for r in pairs1.collect()}
+    fps2, pairs2 = incremental_substring_pairs(
+        fps1, second, existing_pairs=pairs1.select("url_a", "url_b")
+    )
+    inc = inc1 | {(r["url_a"], r["url_b"], r["score"]) for r in pairs2.collect()}
+    assert inc == batch and batch, (inc, batch)
+
+
 def test_corrupted_state_raises_not_restarts(spark, tmp_path):
     """A corrupted (existing but unreadable) state dir must RAISE, not be
     silently treated as 'first batch, empty state' — the r2 design swallowed
