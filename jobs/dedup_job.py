@@ -32,6 +32,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--max-bytes", type=int, default=None)
     p.add_argument("--jaccard-threshold", type=float, default=0.8)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--no-broadcast-hints", action="store_true",
+        help="disable small-side broadcast hints (beyond ~10^9 docs per "
+        "job the winner/candidate url sets outgrow broadcast; AQE then "
+        "plans shuffle semi-joins)",
+    )
     return p.parse_args(argv)
 
 
@@ -49,6 +55,7 @@ def main(argv=None) -> None:
         min_bytes=args.min_bytes,
         max_bytes=args.max_bytes,
         jaccard_threshold=args.jaccard_threshold,
+        broadcast_hints=not args.no_broadcast_hints,
     )
     spark = build_session(
         app_name="europa-dedup", shuffle_partitions=args.shuffle_partitions

@@ -34,3 +34,33 @@ def test_batch_winnow_equal_reference():
     for t, got in zip(texts, batch):
         want = _winnow_np(t, 64, 32)
         assert np.array_equal(got, want), t[:40]
+
+
+def test_dual_signature_udf_equals_separate_passes(spark):
+    """The one-pass dual UDF (r3 byte-stream optimization) must emit exactly
+    the same minhash and fingerprint arrays as the two separate passes."""
+    from pyspark.sql import functions as F
+
+    from europa_spark.config import CANONICAL
+    from europa_spark.minhash import with_dual_signatures, with_signatures
+    from europa_spark.substring import make_winnow_udf
+
+    rows = [(f"u{i}", t) for i, t in enumerate(_texts())]
+    df = spark.createDataFrame(rows, "url string, extracted string")
+    dual = {
+        r["url"]: (r["minhash"], r["fps"])
+        for r in with_dual_signatures(df, CANONICAL).collect()
+    }
+    mh = {
+        r["url"]: r["minhash"]
+        for r in with_signatures(df, CANONICAL, include_shingles=False).collect()
+    }
+    wn = {
+        r["url"]: r["fps"]
+        for r in df.select(
+            "url", make_winnow_udf(CANONICAL)(F.col("extracted")).alias("fps")
+        ).collect()
+    }
+    for u in mh:
+        assert dual[u][0] == mh[u], u
+        assert dual[u][1] == wn[u], u
