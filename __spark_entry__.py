@@ -336,6 +336,29 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-find over the LSH embedding dup pairs -> connected components
+    (vec_id -> cluster_id = min member) — the clustering stage composes over
+    embedding similarity exactly as over text pairs. Oracle = the same
+    brute-force integer pair predicate closed with a recursive CTE (the
+    dedup_clusters technique applied to the embeddings table)."""
+    from europa_spark.cluster import connected_components
+
+    # ids stay LongType end-to-end: connected_components is type-agnostic
+    # (min/least over the id column), so cluster_id is the NUMERIC min —
+    # matching the SQL twin's BIGINT min (string ids would label by
+    # lexicographic min and diverge)
+    pairs = embedding_dup_pairs_lsh(
+        load_embeddings(spark, sf_dir), threshold=EMB_DUP_THRESHOLD
+    ).select(
+        F.col("vec_id_a").alias("url_a"), F.col("vec_id_b").alias("url_b")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("url").alias("vec_id"), F.col("cluster_id").alias("cluster_id")
+    )
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(load_embeddings(spark, sf_dir), k=5)
 
@@ -430,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dups,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "media_metadata": _q_media_metadata,
         "media_exact_dups": _q_media_exact_dups,
         "media_signatures": _q_media_signatures,
@@ -603,6 +627,47 @@ _DEDUP_CTES = (
     + _MH_CTES + ","
     + _CLOSURE_CTES
 )
+
+
+def _embedding_dup_clusters_sql() -> str:
+    """Recursive-CTE transitive closure over the brute-force integer-cosine
+    pair predicate (the exact SQL semantics of embedding_dup_pairs_sql) —
+    the dedup_clusters oracle technique applied to the embeddings table."""
+    from europa_spark.ann import DUP_QUANT_SCALE
+
+    t_num = int(round(EMB_DUP_THRESHOLD * 100))
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(x * {DUP_QUANT_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nn
+  FROM q
+),
+d AS (
+  SELECT a.vec_id AS u, b.vec_id AS v,
+         list_sum(list_transform(range(1, len(a.qv) + 1),
+                  i -> a.qv[i] * b.qv[i])) AS qdot,
+         a.nn AS na, b.nn AS nb
+  FROM n a, n b
+  WHERE a.vec_id < b.vec_id
+),
+e AS (
+  SELECT u, v FROM d
+  WHERE qdot > 0 AND qdot * qdot * 10000 >= {t_num * t_num} * na * nb
+),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT u FROM sym),
+reach(u, lab) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.u
+)
+SELECT CAST(u AS BIGINT) AS vec_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
+"""
 
 
 def _simhash_ctes() -> str:
@@ -802,6 +867,9 @@ SELECT url, nbr AS nearest_url, jaccard FROM rk WHERE rn = 1
         ),
         "knn_quantized": knn_exact_quantized_sql(k=5),
         "embedding_dup_pairs": embedding_dup_pairs_sql(threshold=EMB_DUP_THRESHOLD),
+        # brute-force integer pair predicate + recursive-CTE closure — the
+        # dedup_clusters technique over the embeddings table
+        "embedding_dup_clusters": _embedding_dup_clusters_sql(),
         "media_metadata": _MEDIA_CTE
         + r"""
 SELECT url,
