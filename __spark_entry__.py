@@ -188,10 +188,13 @@ def _drained(build) -> DataFrame:
     registry=None). The one surviving checkpoint block is reclaimed by
     Spark's ContextCleaner once the result is dropped."""
     reg: list[DataFrame] = []
-    out = build(reg).localCheckpoint(eager=True)
-    for f in reg:
-        f.unpersist()
-    return out
+    try:
+        return build(reg).localCheckpoint(eager=True)
+    finally:
+        # also on failure — a query dying mid-materialization must not leave
+        # its persisted intermediates in the block store
+        for f in reg:
+            f.unpersist()
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,7 +415,7 @@ def _q_media_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-dup pairs within pHash Hamming radius 7 — the
+    """Perceptual near-dup pairs within pHash Hamming radius 10 — the
     SimilarImageFinder radius-search product shape (SimilarImageFinder.cs:
     280-330) over media columns. The payload is the shingle-sketch rendering
     (multimodal.text_sketch_media), under which the corpus's planted

@@ -341,8 +341,6 @@ def embedding_dup_pairs_lsh(
     silently diverge instead).
     """
     t_num = int(round(threshold * 100))
-    dim = len(emb.select("embedding").first()["embedding"])
-    buckets = _hyperplane_buckets_udf(dim, n_tables, n_bits, seed)
     qsq = F.aggregate(
         F.transform(
             "embedding",
@@ -351,10 +349,15 @@ def embedding_dup_pairs_lsh(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x * x,
     )
+    # ONE setup scan: dim probe + overflow-guard max in the same job.
     # Cauchy-Schwarz: qdot <= sqrt(na*nb) <= max(na), so the verify
     # predicate's largest product is max_na^2 * 10000 (left side) vs
     # t_num^2 * max_na^2 (right) — guard both against int64.
-    max_na = emb.select(F.max(qsq).alias("m")).first()["m"] or 0
+    stats = emb.select(
+        F.max(qsq).alias("m"), F.max(F.size("embedding")).alias("d")
+    ).first()
+    max_na, dim = stats["m"] or 0, stats["d"] or 0
+    buckets = _hyperplane_buckets_udf(dim, n_tables, n_bits, seed)
     if max(10000, t_num * t_num) * max_na * max_na >= (1 << 63):
         raise ValueError(
             f"quantized sq-norms up to {max_na} overflow the int64 verify "
@@ -460,12 +463,15 @@ def knn_cosine(emb: DataFrame, k: int = 5) -> DataFrame:
             qids = pdf["vec_id"].to_numpy()
             res = []
             for r, qid in enumerate(qids):
-                s = S[r].copy()
-                s[I == qid] = -np.inf
+                # drop self BEFORE ranking (the r2 -inf-mask form emitted the
+                # query itself as the last neighbor when the corpus has <= k
+                # vectors, diverging from the blocked twin)
+                mask = I != qid
+                ii, ss = I[mask], S[r][mask]
                 # top-k with deterministic (score desc, id asc) ties
-                order = np.lexsort((I, -s))[:k]
+                order = np.lexsort((ii, -ss))[:k]
                 for rank, j in enumerate(order, 1):
-                    res.append((qid, I[j], S[r, j], rank))
+                    res.append((qid, ii[j], ss[j], rank))
             yield pd.DataFrame(
                 res, columns=["vec_id", "neighbor_id", "cosine", "rank"]
             )

@@ -103,9 +103,14 @@ def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
     cheap) checkpoint registration, not the Spark jobs themselves."""
     jsc = df.sparkSession.sparkContext._jsc
     with _CKPT_LOCK:
+        # non-eager: the persist REGISTRATION happens at mark time (cheap,
+        # driver-side) — only that sits under the lock; the materializing
+        # Spark job runs below, outside it, so concurrent threads' jobs
+        # still overlap
         before = set(jsc.getPersistentRDDs().keySet().toArray())
-        out = df.localCheckpoint()
+        out = df.localCheckpoint(eager=False)
         after = set(jsc.getPersistentRDDs().keySet().toArray())
+    out.count()  # eager semantics preserved for callers
     return out, after - before
 
 

@@ -143,23 +143,13 @@ def substring_pairs(
     already be materialized.
     """
     if fp_arrays is None:
-        fp_udf = make_winnow_udf(cfg)
-        # shuffle-volume optimization: the fingerprint relations carry a
-        # compact 8-byte doc key instead of the url string (~45 B); urls are
-        # restored by joining the small (uid, url) map onto the final pair
-        # rows only. (64-bit keys are collision-safe to ~10^9 docs per
-        # partition-job; the 10^12-scale deployment note in SURVEY.md §4
-        # calls for a 128-bit key.)
-        keyed = reps.select(F.xxhash64("url").alias("uid"), "url", "extracted")
         # the winnow kernel is the expensive part and this DAG consumes the
         # fingerprint relation three times (df-count branch + both self-join
         # sides): materialize the compact (uid, url, fps) arrays once and
         # explode JVM-side per consumer. With a checkpoint store this would
         # be the fingerprints table; localCheckpoint is the in-session
-        # stand-in.
-        fp_arrays = keyed.select(
-            "uid", "url", fp_udf(F.col("extracted")).alias("fps")
-        ).persist()
+        # stand-in. (Key-scheme rationale lives on with_fingerprints.)
+        fp_arrays = with_fingerprints(reps, cfg).persist()
         # eager: 3 consumers (df-cap count + both self-join sides) race this
         # relation inside one job — without the barrier the winnow UDF
         # re-runs per consumer stage
@@ -206,7 +196,13 @@ def substring_pairs(
 
 def with_fingerprints(reps: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
     """reps(url, extracted) -> (uid, url, fps): the keyed winnow-fingerprint
-    arrays (the substring pass's checkpointable signature table)."""
+    arrays (the substring pass's checkpointable signature table).
+
+    uid: the fingerprint relations carry this compact 8-byte doc key
+    instead of the ~45 B url string through every shuffle; urls re-attach
+    to final pair rows only. 64-bit keys are collision-safe to ~10^9 docs
+    per partition-job; the 10^12-scale deployment note in SURVEY.md §4
+    calls for a 128-bit key."""
     fp_udf = make_winnow_udf(cfg)
     return reps.select(
         F.xxhash64("url").alias("uid"), "url",
@@ -233,7 +229,11 @@ def incremental_substring_pairs(
     across batches.
     """
     cols = ["uid", "url", "fps"]
-    new_fps = with_fingerprints(new_reps, cfg)
+    # localCheckpoint: the winnow UDF subtree feeds four consumers (rare
+    # count, index join side, probe join side, and the caller's state
+    # write) — without a barrier it recomputes per consumer (the same
+    # measured anti-pattern the batch path's persist().count() prevents)
+    new_fps = with_fingerprints(new_reps, cfg).localCheckpoint()
     all_fps = existing_fps.select(*cols).unionByName(new_fps.select(*cols))
     index = all_fps.select("uid", "url", F.explode("fps").alias("fp"))
     rare = (

@@ -102,6 +102,22 @@ def test_knn_blocked_equals_baseline(spark, emb):
     )
 
 
+def test_knn_small_corpus_never_emits_self(spark, emb):
+    """Regression (r3 review): with n <= k the old -inf-mask baseline
+    emitted the query itself as its last neighbor; both variants must drop
+    self and agree on the truncated result."""
+    from europa_spark.ann import knn_cosine_blocked
+
+    small = emb.limit(4)
+    base = knn_cosine(small, k=5).orderBy("vec_id", "rank").collect()
+    blk = knn_cosine_blocked(small, k=5, n_blocks=2).orderBy("vec_id", "rank").collect()
+    assert all(r["vec_id"] != r["neighbor_id"] for r in base)
+    assert len(base) == 4 * 3  # 3 real neighbors each, no self padding
+    assert [(r["vec_id"], r["neighbor_id"], r["rank"]) for r in base] == [
+        (r["vec_id"], r["neighbor_id"], r["rank"]) for r in blk
+    ]
+
+
 def test_knn_blocked_plan_is_distributed(spark, emb):
     """r2 VERDICT #2: the GATED exact-kNN plan may not collect to the driver
     or broadcast the embedding table — it must be the cogrouped grid join."""

@@ -101,7 +101,10 @@ def main() -> None:
                    default=None)
             for c in LEVELS
         }
-        if best[LEVELS[0]] and best[LEVELS[1]] and best[LEVELS[1]] > 0:
+        # `is not None`: a stage legitimately measuring 0.0 s (lazy DAG
+        # build) must not be dropped from the evidence table as "missing"
+        if (best[LEVELS[0]] is not None and best[LEVELS[1]] is not None
+                and best[LEVELS[1]] > 0):
             eff = (best[LEVELS[0]] / best[LEVELS[1]]) / (LEVELS[1] / LEVELS[0])
         else:
             eff = None
