@@ -432,6 +432,23 @@ def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_pairs(sigs).select("url_a", "url_b", "score")
 
 
+def _q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vote-threshold video near-dup pairs (the reference's audio
+    ThresholdVotes matching shape, AudioHashGenerator.cs:12-49, over
+    frame-sampled per-frame pHashes): docs rendered as FAKV multi-frame
+    sketch videos; two videos pair on >= 3 pHash-close frames. 9 rows at
+    sf0.01, every one a planted text near-dup (zero false positives;
+    rows-only gate — DCT has no SQL twin)."""
+    from europa_spark.multimodal import (
+        text_sketch_video,
+        video_frame_signatures,
+        video_near_dups,
+    )
+
+    sigs = video_frame_signatures(text_sketch_video(_clean(spark, sf_dir)))
+    return video_near_dups(sigs).select("url_a", "url_b", "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_report": _q_exact_report,
@@ -461,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exact_dups": _q_media_exact_dups,
         "media_signatures": _q_media_signatures,
         "media_phash_pairs": _q_media_phash_pairs,
+        "video_dup_pairs": _q_video_dup_pairs,
     }
 
 

@@ -209,6 +209,60 @@ def text_sketch_media(
     return df.select("url", sketch(F.col(text_col)).alias("media"))
 
 
+def text_sketch_video(
+    df: DataFrame,
+    text_col: str = "extracted",
+    n_frames: int = 5,
+    width: int = 64,
+    height: int = 48,
+    shingle_k: int = 5,
+    min_tokens_per_frame: int = 30,
+) -> DataFrame:
+    """Render each doc as a deterministic FAKV multi-frame 'video': frame i
+    is the shingle-sketch (same count-grid as text_sketch_media) of the
+    i-th contiguous token chunk. Token-level edits localize to their chunk,
+    so near-dup docs yield videos whose frames are mostly pHash-close —
+    the planted-truth payload for the video vote-matching path.
+
+    ``min_tokens_per_frame``: chunks never drop below this size — short
+    docs yield FEWER frames (a <3-frame video can't reach the default vote
+    threshold, by design: near-blank frames have degenerate pHashes that
+    spuriously match across unrelated short docs; short-doc similarity is
+    the text paths' job)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .minhash import _shingle_hashes_np
+
+    cells = width * height
+
+    def _frame(tokens: list[str], cache: dict) -> bytes:
+        h = _shingle_hashes_np(" ".join(tokens), shingle_k, cache)
+        grid = np.zeros(cells, dtype=np.int64)
+        np.add.at(grid, (h % np.uint64(cells)).astype(np.int64), 32)
+        return np.minimum(grid, 255).astype(np.uint8).tobytes()
+
+    @pandas_udf(BinaryType())
+    def sketch_video(text: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in text:
+            toks = (t if t is not None else "").split(" ")
+            per = max(min_tokens_per_frame, -(-len(toks) // n_frames))
+            frames = [
+                _frame(chunk, cache)
+                for i in range(n_frames)
+                # skip empty chunks: short docs would otherwise all share
+                # identical blank trailing frames, and blank-frame matches
+                # vote ANY two short docs into a spurious pair
+                if (chunk := toks[i * per:(i + 1) * per])
+            ]
+            out.append(make_fake_video(width, height, frames or [b""]))
+        return pd.Series(out)
+
+    return df.select("url", sketch_video(F.col(text_col)).alias("media"))
+
+
 def with_media_metadata(df: DataFrame) -> DataFrame:
     """Cheap typed-metadata projection without decoding: media_type from
     magic bytes (the FileTypeIdentifier cascade analog, F4), byte length."""
@@ -281,6 +335,130 @@ def media_phash_pairs(sigs: DataFrame, hamming_d: int = 10) -> DataFrame:
     )
     return pairs.select(
         "url_a", "url_b", F.lit("phash").alias("method"), "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video columns: FAKV multi-frame fixture format + frame-sampled per-frame
+# perceptual hashes + vote-threshold near-dup matching — the video analog of
+# the reference's audio path (AudioHashGenerator.cs:12-49: per-position
+# fingerprints matched with ThresholdVotes), with the codec stubbed exactly
+# like the still-image path.
+#
+# FAKV format: b"FAKV" + n_frames(2 ASCII digits) + width(2) + height(2) +
+# frames payload (n_frames * width * height grayscale bytes, frame-major).
+# ---------------------------------------------------------------------------
+
+
+def make_fake_video(width: int, height: int, frames: list[bytes]) -> bytes:
+    if not (1 <= width <= 99 and 1 <= height <= 99 and 1 <= len(frames) <= 99):
+        raise ValueError("fake video dims/frames must be in [1, 99]")
+    need = width * height
+    body = b"".join(
+        (f + bytes(need))[:need] for f in frames  # pad/trim per frame
+    )
+    return f"FAKV{len(frames):02d}{width:02d}{height:02d}".encode("ascii") + body
+
+
+def _decode_video_bytes(b: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Stub video codec (same contract as _decode_bytes: swap in
+    ffmpeg/pyav here). Returns (width, height, [grayscale frame grids])."""
+    if b[:4] != b"FAKV":
+        raise NotImplementedError(
+            "real video codecs are not available in this container; only "
+            "the FAKV fixture format decodes"
+        )
+    try:
+        n, w, h = int(b[4:6]), int(b[6:8]), int(b[8:10])
+    except ValueError:
+        raise NotImplementedError("malformed fake video header") from None
+    if n == 0 or w == 0 or h == 0:
+        raise NotImplementedError("degenerate fake video dimensions")
+    need = w * h
+    payload = np.frombuffer(b[10:], dtype=np.uint8)
+    frames = []
+    for i in range(n):
+        fr = payload[i * need:(i + 1) * need]
+        if len(fr) < need:
+            fr = np.concatenate([fr, np.zeros(need - len(fr), dtype=np.uint8)])
+        frames.append(fr.reshape(h, w).astype(np.float64))
+    return w, h, frames
+
+
+def video_frame_signatures(
+    df: DataFrame, sample_every: int = 1
+) -> DataFrame:
+    """Decode + frame-sample + per-frame pHash over Arrow batches: one
+    output row per SAMPLED frame (url, frame_idx, n_frames, phash LONG).
+
+    ``sample_every``: keep frames 0, k, 2k, ... — the brief's frame-sample
+    step; at real scale sampling bounds per-video work regardless of
+    duration. Undecodable media is skipped (quarantine route)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf["url"], pdf["media"]):
+                try:
+                    _, _, frames = _decode_video_bytes(bytes(blob))
+                except NotImplementedError:
+                    continue
+                for idx in range(0, len(frames), sample_every):
+                    rows.append((url, idx, len(frames), phash64(frames[idx])))
+            yield pd.DataFrame(
+                rows, columns=["url", "frame_idx", "n_frames", "phash"]
+            )
+
+    return df.select("url", "media").mapInPandas(
+        compute, "url string, frame_idx int, n_frames int, phash long"
+    )
+
+
+def video_near_dups(
+    frame_sigs: DataFrame,
+    hamming_d: int = 10,
+    min_votes: int = 3,
+) -> DataFrame:
+    """Vote-threshold video near-dup pairs — the reference's audio matching
+    shape (AudioHashGenerator.cs:38 ThresholdVotes) over per-frame pHashes:
+    two videos pair when >= min_votes of their sampled frames fall within
+    the Hamming radius. Frame matching reuses the pigeonhole band join
+    (guaranteed per-frame recall); votes = the SMALLER count of distinct
+    matched frame indices across the two sides, so a single frame repeated
+    many times in one video contributes one vote, not many.
+
+    Output: (url_a < url_b, method='video', score = votes)."""
+    cfg = DedupConfig(simhash_hamming_d=hamming_d, simhash_bands=16)
+    keyed = frame_sigs.select(
+        F.concat_ws("\x01", "url", F.col("frame_idx").cast("string")).alias("url"),
+        F.col("phash").alias("simhash"),
+    )
+    frame_pairs = simhash_pairs(None, cfg, sigs=keyed)
+    part = lambda c, i: F.split_part(F.col(c), F.lit("\x01"), F.lit(i))  # noqa: E731
+    hits = frame_pairs.select(
+        part("url_a", 1).alias("va"), part("url_a", 2).alias("fa"),
+        part("url_b", 1).alias("vb"), part("url_b", 2).alias("fb"),
+    ).filter(F.col("va") != F.col("vb"))
+    # canonical orientation, keeping each side's frame idx with its video
+    canon = hits.select(
+        F.least("va", "vb").alias("url_a"),
+        F.greatest("va", "vb").alias("url_b"),
+        F.when(F.col("va") <= F.col("vb"), F.col("fa")).otherwise(F.col("fb")).alias("ia"),
+        F.when(F.col("va") <= F.col("vb"), F.col("fb")).otherwise(F.col("fa")).alias("ib"),
+    )
+    votes = (
+        canon.groupBy("url_a", "url_b")
+        .agg(
+            F.count_distinct("ia").alias("na"),
+            F.count_distinct("ib").alias("nb"),
+        )
+        .withColumn("votes", F.least("na", "nb"))
+        .filter(F.col("votes") >= min_votes)
+    )
+    return votes.select(
+        "url_a", "url_b",
+        F.lit("video").alias("method"),
+        F.col("votes").cast("double").alias("score"),
     )
 
 

@@ -331,6 +331,74 @@ def test_text_sketch_media_radius_search_finds_planted_pairs(spark, corpus):
     ), {p for p in got if cl.get(p[0]) != cl.get(p[1])}
 
 
+def test_video_vote_matching_planted(spark):
+    """Vote-threshold video matching on EXPLICIT planted videos: v1/v2 share
+    4 of 5 frames (one frame noised) -> pair; v3 shares only 2 distinct
+    frames with anything (its repeated f6 must count once, not thrice) ->
+    below the 3-vote threshold; v4 is unrelated -> no pair."""
+    from europa_spark.multimodal import (
+        make_fake_video,
+        video_frame_signatures,
+        video_near_dups,
+    )
+
+    rng = np.random.default_rng(9)
+    f = [rng.integers(0, 256, 48 * 48, dtype=np.uint8).tobytes() for _ in range(7)]
+    noisy = (
+        np.clip(
+            np.frombuffer(f[0], dtype=np.uint8).astype(np.int16)
+            + rng.integers(-1, 2, 48 * 48),
+            0, 255,
+        ).astype(np.uint8).tobytes()
+    )
+    rows = [
+        ("v1", make_fake_video(48, 48, [f[0], f[1], f[2], f[3], f[4]])),
+        ("v2", make_fake_video(48, 48, [noisy, f[1], f[2], f[3], f[5]])),
+        ("v3", make_fake_video(48, 48, [f[0], f[1], f[6], f[6], f[6]])),
+        ("v4", make_fake_video(48, 48, [rng.integers(0, 256, 48 * 48, dtype=np.uint8).tobytes() for _ in range(5)])),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    sigs = video_frame_signatures(df)
+    assert sigs.count() == 20  # 4 videos x 5 frames
+    pairs = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in video_near_dups(sigs).collect()
+    }
+    assert set(pairs) == {("v1", "v2")}, pairs
+    assert pairs[("v1", "v2")] >= 4  # 3 identical + 1 noised frame
+
+    # frame sampling: every 2nd frame halves the signature rows
+    assert video_frame_signatures(df, sample_every=2).count() == 12
+
+
+def test_video_sketch_corpus_no_false_positives(spark, corpus):
+    """Corpus-level regression for the gated query: every video pair found
+    on sketch videos is a genuinely planted near-dup (>= 0.8 Jaccard) or an
+    intra-cluster sibling; docs too short for 3 content frames never pair."""
+    from europa_spark.extract import split_quarantine, with_extracted
+    from europa_spark.multimodal import (
+        text_sketch_video,
+        video_frame_signatures,
+        video_near_dups,
+    )
+
+    docs = spark.createDataFrame(corpus.documents)
+    clean, _ = split_quarantine(with_extracted(docs))
+    sub = clean.limit(400)
+    found = {
+        (r["url_a"], r["url_b"])
+        for r in video_near_dups(
+            video_frame_signatures(text_sketch_video(sub))
+        ).collect()
+    }
+    assert found, "long planted near-dups must pair"
+    cl = dict(
+        zip(corpus.expected_clusters["url"], corpus.expected_clusters["cluster_id"])
+    )
+    bad = {p for p in found if cl.get(p[0]) != cl.get(p[1]) or cl.get(p[0]) is None}
+    assert not bad, bad
+
+
 def test_stream_replay_idempotent(spark, tmp_path):
     """A replayed micro-batch (checkpoint-recovery semantics) must rewrite
     identical rows, not duplicate the log or self-match against its own
