@@ -432,6 +432,43 @@ def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_pairs(sigs).select("url_a", "url_b", "score")
 
 
+CURATION_MIN_TOKENS = 30
+CURATION_LANG = "en"
+
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data product query: compose quality thresholds +
+    language-ID + the full 3-method dedup into the kept training corpus —
+    (url, n_tokens, lang_pred, cluster_id) for docs that are English, long
+    enough, and NOT duplicates. Oracle = the same composition in SQL (the
+    dedup recursive-CTE closure + the token/lang-ID twins)."""
+    docs = load_canonical(spark, sf_dir)
+    clean = _clean(spark, sf_dir)
+    out = run(docs)
+    try:
+        q = quality_features(clean, text_col="extracted").select("url", "n_tokens")
+        lid = language_id(clean, text_col="extracted").select("url", "lang_pred")
+        kept = (
+            out["report"]
+            .join(q, "url")
+            .join(lid, "url")
+            .filter(
+                (F.col("lang_pred") == CURATION_LANG)
+                & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+                & (~F.col("is_duplicate"))
+            )
+            .select(
+                "url",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                "lang_pred",
+                "cluster_id",
+            )
+        )
+        return kept.localCheckpoint(eager=True)
+    finally:
+        out["release"]()
+
+
 def _q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vote-threshold video near-dup pairs (the reference's audio
     ThresholdVotes matching shape, AudioHashGenerator.cs:12-49, over
@@ -479,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_signatures": _q_media_signatures,
         "media_phash_pairs": _q_media_phash_pairs,
         "video_dup_pairs": _q_video_dup_pairs,
+        "corpus_curation": _q_corpus_curation,
     }
 
 
@@ -886,6 +924,21 @@ rk AS (
 SELECT url, nbr AS nearest_url, jaccard FROM rk WHERE rn = 1
 """
         ),
+        # the training-corpus composition: dedup closure + lang-ID + token
+        # threshold in one statement (nested-WITH subquery for the lang twin)
+        "corpus_curation": _DEDUP_CTES + f""",
+lid AS ({language_id_sql(DOCS_SQL)}),
+qt AS (SELECT url, len(string_split(text, ' ')) AS n_tokens FROM clean)
+SELECT d.url, CAST(qt.n_tokens AS BIGINT) AS n_tokens, lid.lang_pred,
+       coalesce(c.cluster_id, d.url) AS cluster_id
+FROM clean d
+JOIN qt ON qt.url = d.url
+JOIN lid ON lid.url = d.url
+LEFT JOIN comp c ON c.url = d.url
+WHERE lid.lang_pred = '{CURATION_LANG}'
+  AND qt.n_tokens >= {CURATION_MIN_TOKENS}
+  AND NOT (c.url IS NOT NULL AND c.cluster_id <> d.url)
+""",
         "knn_quantized": knn_exact_quantized_sql(k=5),
         "embedding_dup_pairs": embedding_dup_pairs_sql(threshold=EMB_DUP_THRESHOLD),
         # brute-force integer pair predicate + recursive-CTE closure — the
