@@ -99,6 +99,72 @@ def with_simhash(reps: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
     return reps.withColumn("simhash", udf(F.col("extracted")))
 
 
+def _band_cols(cfg: DedupConfig):
+    nb = cfg.simhash_bands
+    width = 64 // nb
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(nb)
+        ]
+    )
+
+
+def incremental_simhash_pairs(
+    existing_sigs: DataFrame,
+    new_reps: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    existing_pairs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Delta compute for newly-arrived documents (J4/J5 resume semantics,
+    mirroring minhash/substring): cached signatures never recompute; probes
+    are ONLY the new docs' pigeonhole bands, joined against the full
+    accumulated band index (guaranteed recall for Hamming <= d, bands >=
+    d+1); confirmed pairs anti-join away.
+
+    Returns (new_sigs(url, simhash), new_pairs) — new_pairs touches at
+    least one new doc. Skew note: the incremental probe set is one batch
+    (small), so the plain equi-join needs no bucket-cap routing; the batch
+    path keeps the salted hot-bucket machinery."""
+    new_sigs = with_simhash(new_reps, cfg).select("url", "simhash").localCheckpoint()
+    all_sigs = existing_sigs.select("url", "simhash").unionByName(new_sigs)
+    bands = _band_cols(cfg)
+    probes = new_sigs.select(
+        "url", "simhash", F.posexplode(bands).alias("band_idx", "band_key")
+    )
+    index = all_sigs.select(
+        "url", "simhash", F.posexplode(bands).alias("band_idx", "band_key")
+    )
+    cands = (
+        probes.alias("a")
+        .join(index.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.url") != F.col("b.url"))
+        .select(
+            F.least("a.url", "b.url").alias("url_a"),
+            F.greatest("a.url", "b.url").alias("url_b"),
+            F.least("a.simhash", "b.simhash").alias("s1"),
+            F.greatest("a.simhash", "b.simhash").alias("s2"),
+        )
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    hamming = F.bit_count(F.expr("s1 ^ s2"))
+    pairs = (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= cfg.simhash_hamming_d)
+        .select(
+            "url_a", "url_b",
+            F.lit("simhash").alias("method"),
+            ((F.lit(64) - F.col("hamming")) / F.lit(64)).alias("score"),
+        )
+    )
+    if existing_pairs is not None:
+        pairs = pairs.join(
+            existing_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
+        )
+    return new_sigs, pairs
+
+
 def simhash_pairs(
     reps: DataFrame | None,
     cfg: DedupConfig = CANONICAL,

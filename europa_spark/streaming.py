@@ -330,3 +330,80 @@ def read_substring_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(_sub_pairs_path(state_dir)).withColumn(
         "batch_id", F.col("batch_id").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SIMHASH dedup — the fourth and last method under foreachBatch;
+# single-long signatures make this the cheapest incremental state.
+# ---------------------------------------------------------------------------
+
+
+def _sh_sigs_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "sh_sigs")
+
+
+def _sh_pairs_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "sh_pairs")
+
+
+def process_batch_simhash(
+    batch_df: DataFrame, batch_id: int, state_dir: str, cfg=None
+) -> None:
+    """One micro-batch of incremental SimHash dedup (same exactly-once
+    per-batch-partition scheme as the other three methods)."""
+    from .config import CANONICAL
+    from .exact import representatives, with_content_hash
+    from .simhash import incremental_simhash_pairs
+
+    cfg = cfg or CANONICAL
+    spark = batch_df.sparkSession
+    clean, _ = split_quarantine(with_extracted(batch_df))
+    new_reps = representatives(with_content_hash(clean, cfg)).select(
+        "url", "extracted"
+    )
+    existing_sigs = _read_state(
+        spark, _sh_sigs_path(state_dir), "url string, simhash bigint", batch_id
+    )
+    existing_pairs = _read_state(
+        spark, _sh_pairs_path(state_dir),
+        "url_a string, url_b string, score double", batch_id,
+    )
+    new_sigs, new_pairs = incremental_simhash_pairs(
+        existing_sigs, new_reps, cfg, existing_pairs=existing_pairs
+    )
+    new_sigs.select("url", "simhash").write.mode("overwrite").parquet(
+        os.path.join(_sh_sigs_path(state_dir), f"batch_id={batch_id}")
+    )
+    new_pairs.select("url_a", "url_b", "score").write.mode("overwrite").parquet(
+        os.path.join(_sh_pairs_path(state_dir), f"batch_id={batch_id}")
+    )
+
+
+def start_incremental_simhash(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    cfg=None,
+):
+    """availableNow streaming SimHash-dup query over a documents dir."""
+    os.makedirs(state_dir, exist_ok=True)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: process_batch_simhash(df, bid, state_dir, cfg)
+        )
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_stream_ckpt_sh"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_simhash_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(url_a, url_b, score, batch_id) accumulated across batches."""
+    return spark.read.parquet(_sh_pairs_path(state_dir)).withColumn(
+        "batch_id", F.col("batch_id").cast("long")
+    )

@@ -145,6 +145,62 @@ def test_incremental_substring_matches_batch(spark):
     assert inc == batch and batch, (inc, batch)
 
 
+def test_incremental_stream_simhash(spark, tmp_path):
+    """Streaming SimHash dedup: a bit-level near-dup arriving in batch 2
+    pairs against batch 1's accumulated signatures; replay is idempotent;
+    incremental result equals the batch simhash_pairs over the union."""
+    from europa_spark.extract import split_quarantine, with_extracted
+    from europa_spark.simhash import simhash_pairs
+    from europa_spark.streaming import (
+        process_batch_simhash,
+        read_simhash_pairs,
+        start_incremental_simhash,
+    )
+
+    src = tmp_path / "shsrc"
+    state = str(tmp_path / "shstate")
+    os.makedirs(src)
+    base, variant, unrelated = _near_dup_texts()
+
+    _write_docs(str(src / "b1.parquet"), [("h1", base), ("h2", unrelated)])
+    q = start_incremental_simhash(spark, str(src), state)
+    q.awaitTermination(120)
+    p1 = {(r["url_a"], r["url_b"]) for r in read_simhash_pairs(spark, state).collect()}
+    assert p1 == set()
+
+    _write_docs(str(src / "b2.parquet"), [("h3", variant)])
+    q = start_incremental_simhash(spark, str(src), state)
+    q.awaitTermination(120)
+    got = {
+        (r["url_a"], r["url_b"], r["score"])
+        for r in read_simhash_pairs(spark, state).collect()
+    }
+    # equivalence with the one-shot batch path over the union
+    union = spark.createDataFrame(
+        [("h1", None, None, base, "en"), ("h2", None, None, unrelated, "en"),
+         ("h3", None, None, variant, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    clean, _ = split_quarantine(with_extracted(union))
+    batch = {
+        (r["url_a"], r["url_b"], r["score"])
+        for r in simhash_pairs(clean.select("url", "extracted")).collect()
+    }
+    assert got == batch, (got, batch)
+
+    # replay of batch 1 (recovery): identical accumulated rows
+    b1 = spark.createDataFrame(
+        [("h3", None, None, variant, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    process_batch_simhash(b1, 1, state)
+    again = {
+        (r["url_a"], r["url_b"], r["score"])
+        for r in read_simhash_pairs(spark, state).collect()
+    }
+    assert again == got
+
+
 def test_corrupted_state_raises_not_restarts(spark, tmp_path):
     """A corrupted (existing but unreadable) state dir must RAISE, not be
     silently treated as 'first batch, empty state' — the r2 design swallowed
