@@ -217,13 +217,31 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_FNV = CANONICAL.__class__(simhash_token_hash="fnv1a")
 
 
+def _assert_ascii(reps: DataFrame) -> DataFrame:
+    """Fail LOUDLY if any rep text is non-ASCII (r3 ADVICE #4): the DuckDB
+    FNV twin hashes per CHARACTER (ord over substr) while the Spark kernel
+    hashes per UTF-8 BYTE — equal iff chars == bytes. An early-exit scan
+    (limit 1) turns the silent oracle divergence into a hard error."""
+    bad = reps.filter(
+        F.length("extracted") != F.octet_length("extracted")
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "FNV-SimHash oracle requires ASCII-only text (char-hash SQL twin "
+            "vs byte-hash Spark kernel would silently diverge)"
+        )
+    return reps
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs within Hamming d=3 of the FNV-SimHash-64. Oracle = brute-force
     Hamming over the SQL-computed signatures: identical because pigeonhole
     bands (4 >= d+1) guarantee candidate recall and no sf0.01 band bucket
     exceeds bucket_cap (hot-bucket star routing never engages)."""
     clean = _clean(spark, sf_dir)
-    reps = representatives(with_content_hash(clean)).select("url", "extracted")
+    reps = _assert_ascii(
+        representatives(with_content_hash(clean)).select("url", "extracted")
+    )
     return _drained(
         lambda reg: simhash_pairs(reps, SIMHASH_FNV, registry=reg).select(
             "url_a", "url_b", "score"
@@ -233,7 +251,11 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean(spark, sf_dir)
-    reps = representatives(with_content_hash(clean)).select("url", "extracted")
+    # same char-vs-byte caveat as the FNV twin: the winnowing SQL twin
+    # hashes characters, the kernel hashes UTF-8 bytes
+    reps = _assert_ascii(
+        representatives(with_content_hash(clean)).select("url", "extracted")
+    )
     return _drained(
         lambda reg: substring_pairs(reps, registry=reg).select(
             "url_a", "url_b", "score"
@@ -295,7 +317,9 @@ def _q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FNV-1a + bigram-mix + bit-vote chain (r2 VERDICT next-round #4; the
     blake2b default stays pinned by tests/test_simhash.py)."""
     clean = _clean(spark, sf_dir)
-    reps = representatives(with_content_hash(clean)).select("url", "extracted")
+    reps = _assert_ascii(
+        representatives(with_content_hash(clean)).select("url", "extracted")
+    )
     return with_simhash(reps, SIMHASH_FNV).select(
         "url", F.lpad(F.hex("simhash"), 16, "0").alias("simhash_hex")
     )

@@ -6,8 +6,22 @@ dedup throughput (docs/sec) on the deterministic synthetic webtext corpus at
 t-bench scale (FIXTURES.md §1), which is the corpus the scaling protocol in
 tools/scaling_bench.py uses.
 
-Output: {"metric": ..., "value": <total headline sec>, "unit": "sec",
-         "queries": {name: sec}, "sf": ..., "throughput_docs_per_sec": ...}
+Noise protocol (r3 VERDICT #1): this sandbox is a shared-host VM where
+identical runs have measured 39.8 s vs 83.6 s — sibling interference only
+ever ADDS time, so each headline query runs EUROPA_BENCH_REPS times (default
+3) and the recorded number is the per-query MIN, exactly the estimator
+tools/scaling_bench.py already uses. The full-pipeline throughput pass runs
+twice (release() between passes) and records the best wall. Per-query
+spreads are emitted alongside so a genuinely quiet host is distinguishable
+from a lucky one. Repeat runs re-execute the full plan: every gated query is
+wrapped in _drained() (persists are dropped before the query returns), so
+there is no cross-repetition cache reuse beyond JVM/JIT warmth — which both
+the first and last repetition share with the scaling protocol's discarded
+warmup pair.
+
+Output: {"metric": ..., "value": <total headline sec, best-of>, "unit":
+         "sec", "queries": {name: sec}, "query_spreads": {name: [..]},
+         "sf": ..., "throughput_docs_per_sec": ...}
 """
 
 from __future__ import annotations
@@ -21,6 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_ROWS = int(os.environ.get("EUROPA_BENCH_ROWS", "200000"))
 BENCH_DIR = os.environ.get("EUROPA_BENCH_DIR", "/tmp/europa_bench_corpus")
+BENCH_REPS = int(os.environ.get("EUROPA_BENCH_REPS", "3"))
+THROUGHPUT_REPS = int(os.environ.get("EUROPA_THROUGHPUT_REPS", "2"))
 
 
 def ensure_bench_corpus() -> str:
@@ -38,8 +54,6 @@ def ensure_bench_corpus() -> str:
 
 
 def run_bench(cpus: int, sf_dir: str, include_throughput: bool = True) -> dict:
-    from pyspark.sql import functions as F
-
     import __spark_entry__ as entrymod
     from europa_spark.pipeline import run as run_pipeline
     from europa_spark.session import build_session
@@ -61,17 +75,24 @@ def run_bench(cpus: int, sf_dir: str, include_throughput: bool = True) -> dict:
         "knn_quantized",
     ]
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    spreads: dict[str, list[float]] = {n: [] for n in headline}
+    # interleave repetitions across queries (all of rep 1, then rep 2, ...):
+    # host interference is time-correlated, so a bad window degrades one
+    # repetition of every query instead of every repetition of one query
+    for _ in range(BENCH_REPS):
+        for name in headline:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            spreads[name].append(round(time.time() - t0, 3))
+    timings = {name: min(vals) for name, vals in spreads.items()}
 
     result = {
         "metric": "dedup_headline_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_spreads": spreads,
+        "reps": BENCH_REPS,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
     }
@@ -80,15 +101,20 @@ def run_bench(cpus: int, sf_dir: str, include_throughput: bool = True) -> dict:
         corpus_dir = ensure_bench_corpus()
         docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
         n_docs = docs.count()
-        t0 = time.time()
-        out = run_pipeline(docs)
-        # materialize the full pipeline: report rows + cluster count
-        out["report"].count()
-        out["clusters"].count()
-        wall = time.time() - t0
+        walls = []
+        for _ in range(THROUGHPUT_REPS):
+            t0 = time.time()
+            out = run_pipeline(docs)
+            # materialize the full pipeline: report rows + cluster count
+            out["report"].count()
+            out["clusters"].count()
+            walls.append(time.time() - t0)
+            out["release"]()  # drop this pass's caches before the next
+        wall = min(walls)
         result["throughput_docs_per_sec"] = round(n_docs / wall, 1)
         result["throughput_corpus_rows"] = n_docs
         result["throughput_wall_sec"] = round(wall, 2)
+        result["throughput_walls_sec"] = [round(w, 2) for w in walls]
 
     spark.stop()
     return result

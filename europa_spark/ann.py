@@ -209,8 +209,12 @@ def knn_exact_quantized_blocked(
 def knn_cosine_blocked(
     emb: DataFrame, k: int = 5, n_blocks: int = 8
 ) -> DataFrame:
-    """Distributed twin of knn_cosine — identical rows (per-pair float ops
-    are unchanged by blocking), no collect()/broadcast in the plan."""
+    """Distributed twin of knn_cosine — same neighbors/ranks, scores equal
+    within float tolerance: per-pair scores go through different BLAS
+    accumulation shapes (full-matrix vs per-block matmul), so ulp-level
+    drift is possible and near-tie pairs at the drift boundary could in
+    principle reorder (the quantized int64 variant is the one with an
+    exact-identity guarantee). No collect()/broadcast in the plan."""
     return _knn_blocked(emb, k, n_blocks, quantized=False)
 
 

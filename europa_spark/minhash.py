@@ -497,9 +497,29 @@ def incremental_minhash_pairs(
     all_sigs = existing_sigs.select(*cols).unionByName(new_sigs.select(*cols))
     probes = band_table(new_sigs, cfg)
     index = band_table(all_sigs, cfg)
+    # index-side hot buckets star-route to the bucket min (same cap as the
+    # batch path): the index grows with the whole corpus, so an uncapped
+    # equi-join would let one degenerate bucket make per-batch fan-out
+    # corpus-proportional (r3 ADVICE #3, flagged on the simhash twin)
+    stats = (
+        index.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("bucket_n"), F.min("url").alias("bucket_min"))
+        .filter(F.col("bucket_n") >= 2)
+    )
+    sized = index.join(stats, ["band_idx", "band_hash"])
+    capped_index = (
+        sized.filter(F.col("bucket_n") <= cfg.bucket_cap)
+        .select("band_idx", "band_hash", "url")
+        .unionByName(
+            sized.filter(
+                (F.col("bucket_n") > cfg.bucket_cap)
+                & (F.col("url") == F.col("bucket_min"))
+            ).select("band_idx", "band_hash", "url")
+        )
+    )
     cands = (
         probes.alias("a")
-        .join(index.alias("b"), ["band_idx", "band_hash"])
+        .join(capped_index.alias("b"), ["band_idx", "band_hash"])
         .filter(F.col("a.url") != F.col("b.url"))
         .select(
             F.least("a.url", "b.url").alias("url_a"),

@@ -202,8 +202,13 @@ def run(
             # r2 design). Narrow output (~1.3 KB/row); wide shingle arrays
             # never leave the Python worker. Eager: band stats + band join
             # + all three substring consumers race this frame.
+            # Stage name is 'signatures_dual', NOT 'signatures': the store
+            # keys a stage by (name, config_hash) and the two signature
+            # shapes differ by schema — a minhash-only run's cached
+            # (url, minhash) table resumed under a methods set that also
+            # needs winnow fps would fail downstream (r3 ADVICE #2).
             dual = stage(
-                "signatures",
+                "signatures_dual",
                 lambda: _materialize(with_dual_signatures(reps, cfg)),
             )
             sigs = dual.select("url", "minhash")

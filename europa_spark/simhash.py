@@ -73,6 +73,76 @@ def _simhash_np(text: str, cache: dict, token_hash=_token_hash) -> int:
     return sig - (1 << 64) if sig >= (1 << 63) else sig  # two's complement
 
 
+_CHUNK_TOKENS = 64_000  # ~512 KB uint64 working buffers — cache-resident
+
+
+def _batch_simhash(texts: list[str], token_hash=_token_hash) -> np.ndarray:
+    """Chunked vectorized twin of _simhash_np (r3 VERDICT #5 — the last
+    per-doc-Python-loop hot kernel): tokenize rows, hash unique tokens once
+    per ~64k-token chunk (pd.factorize gather — the dict cache becomes a
+    vectorized lookup), vectorized bigram mix over the flat token-hash
+    array, then per-bit set-bit counts via one cumulative sum per bit
+    gathered at row boundaries (handles rows with no bigrams cleanly).
+    Working set per chunk is a handful of ~512 KB buffers — the same
+    cache-resident discipline as the minhash/winnow kernels. Bit-identical
+    to the per-row reference kernel for both token hashes
+    (hypothesis-pinned in tests/test_simhash.py)."""
+    tok_lists = [t.split(" ") for t in texts]
+    out = np.zeros(len(texts), dtype=np.int64)
+    cache: dict = {}
+    shifts = np.arange(64, dtype=_U64)
+    i = 0
+    while i < len(tok_lists):
+        j, toks = i, 0
+        while j < len(tok_lists) and (
+            toks == 0 or toks + len(tok_lists[j]) <= _CHUNK_TOKENS
+        ):
+            toks += len(tok_lists[j])
+            j += 1
+        chunk = tok_lists[i:j]
+        lens = np.fromiter((len(t) for t in chunk), dtype=np.int64, count=len(chunk))
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for t in chunk:
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+        codes, uniques = pd.factorize(flat)
+        uh = np.fromiter(
+            (token_hash(u, cache) for u in uniques), dtype=_U64, count=len(uniques)
+        )
+        T = uh[codes]
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        ends = starts + lens
+        # bigram features over ALL adjacent positions, zero-padded to row
+        # length: cross-row junk pairs (position ends[r]-1) and the pad are
+        # ZEROED, so they add 0 to every set-bit count and are excluded from
+        # n_feats — this makes the per-row B segments contiguous
+        # (starts[r] .. starts[r+1]-1), which reduceat handles in one pass
+        Bp = np.zeros(total, dtype=_U64)
+        if total >= 2:
+            np.multiply(T[:-1], _BIGRAM_MIX, out=Bp[:-1])
+            Bp[:-1] += T[1:]
+            Bp[ends[:-1] - 1] = 0  # cross-row pairs
+            Bp[ends[-1] - 1] = 0   # last row's trailing pad slot
+        # per-row per-bit set counts: unpackbits turns the uint64 view into
+        # an (n, 64) little-endian bit matrix in ONE C pass, and reduceat
+        # accumulates row segments in int64 (segments are all non-empty:
+        # every row has >= 1 token)
+        ubits = np.unpackbits(T.view(np.uint8), bitorder="little").reshape(total, 64)
+        ucnt = np.add.reduceat(ubits, starts, axis=0, dtype=np.int64)
+        bbits = np.unpackbits(Bp.view(np.uint8), bitorder="little").reshape(total, 64)
+        bcnt = np.add.reduceat(bbits, starts, axis=0, dtype=np.int64)
+        # votes[r,bit] = 2*set_count - n_feats >= 0  <=>  2*set_count >= n;
+        # n_feats = tokens + real bigrams = lens + max(lens-1, 0)
+        n_feats = (lens + np.maximum(lens - 1, 0))[:, None]
+        sig_bits = (2 * (ucnt + bcnt) >= n_feats).astype(_U64)
+        out[i:j] = (sig_bits << shifts[None, :]).sum(axis=1, dtype=_U64).view(np.int64)
+        i = j
+    return out
+
+
 def make_simhash_udf(cfg: DedupConfig = CANONICAL):
     from pyspark.sql.functions import pandas_udf
 
@@ -80,14 +150,9 @@ def make_simhash_udf(cfg: DedupConfig = CANONICAL):
 
     @pandas_udf(LongType())
     def simhash64(text: pd.Series) -> pd.Series:
-        cache: dict = {}
         return pd.Series(
-            np.array(
-                [
-                    _simhash_np(t if t is not None else "", cache, token_hash)
-                    for t in text
-                ],
-                dtype=np.int64,
+            _batch_simhash(
+                [t if t is not None else "" for t in text], token_hash
             )
         )
 
@@ -124,9 +189,14 @@ def incremental_simhash_pairs(
     d+1); confirmed pairs anti-join away.
 
     Returns (new_sigs(url, simhash), new_pairs) — new_pairs touches at
-    least one new doc. Skew note: the incremental probe set is one batch
-    (small), so the plain equi-join needs no bucket-cap routing; the batch
-    path keeps the salted hot-bucket machinery."""
+    least one new doc. Skew note: the probe side is one batch (small), but
+    the INDEX side grows with the whole corpus — a degenerate hot bucket
+    (e.g. near-empty docs all hashing to simhash 0) would make per-batch
+    join fan-out scale with total corpus size (r3 ADVICE #3). Index buckets
+    above cfg.bucket_cap are therefore star-routed exactly like the batch
+    path: a probe landing in a hot bucket pairs only with the bucket's min
+    url (connectivity through the star anchor), while sub-cap buckets keep
+    the full equi-join."""
     new_sigs = with_simhash(new_reps, cfg).select("url", "simhash").localCheckpoint()
     all_sigs = existing_sigs.select("url", "simhash").unionByName(new_sigs)
     bands = _band_cols(cfg)
@@ -136,9 +206,23 @@ def incremental_simhash_pairs(
     index = all_sigs.select(
         "url", "simhash", F.posexplode(bands).alias("band_idx", "band_key")
     )
+    stats = (
+        index.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("bucket_n"), F.min("url").alias("bucket_min"))
+        .filter(F.col("bucket_n") >= 2)
+    )
+    sized = index.join(stats, ["band_idx", "band_key"])
+    normal_idx = sized.filter(F.col("bucket_n") <= cfg.bucket_cap).select(
+        "band_idx", "band_key", "url", "simhash"
+    )
+    # hot buckets collapse to ONE index row (the star anchor): per-probe
+    # fan-out is bounded at bands * (bucket_cap + 1) regardless of corpus
+    hot_min = sized.filter(
+        (F.col("bucket_n") > cfg.bucket_cap) & (F.col("url") == F.col("bucket_min"))
+    ).select("band_idx", "band_key", "url", "simhash")
     cands = (
         probes.alias("a")
-        .join(index.alias("b"), ["band_idx", "band_key"])
+        .join(normal_idx.unionByName(hot_min).alias("b"), ["band_idx", "band_key"])
         .filter(F.col("a.url") != F.col("b.url"))
         .select(
             F.least("a.url", "b.url").alias("url_a"),

@@ -4,6 +4,8 @@ Packaging (north rule: ships as spark-submit --py-files, no driver-side
 data):
 
     python tools/build_pyfiles.py          # -> dist/europa_spark.zip
+    # (dist/ is untracked — the zip is built fresh at submit time so the
+    # shipped code always matches HEAD)
     spark-submit --py-files dist/europa_spark.zip jobs/dedup_job.py \
         --input db.documents --output /out/dedup \
         --checkpoint-dir /ckpt/run1 --langs en de \

@@ -65,6 +65,27 @@ def test_batch_winnow_equal_per_row(texts, k, w):
         assert np.array_equal(got, want), (t, k, w)
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=20), st.booleans(), st.booleans())
+def test_batch_simhash_equal_per_row(texts, use_fnv, tiny_chunks):
+    """r3 VERDICT #5: the chunked factorize/unpackbits simhash kernel must
+    be bit-identical to the per-row reference for BOTH token hashes;
+    tiny_chunks forces rows to straddle chunk boundaries."""
+    import europa_spark.simhash as sh
+
+    token_hash = sh._fnv1a64 if use_fnv else sh._token_hash
+    old = sh._CHUNK_TOKENS
+    try:
+        if tiny_chunks:
+            sh._CHUNK_TOKENS = 3
+        batch = sh._batch_simhash(texts, token_hash)
+    finally:
+        sh._CHUNK_TOKENS = old
+    cache: dict = {}
+    for t, got in zip(texts, batch):
+        assert got == sh._simhash_np(t, cache, token_hash), t
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.text(alphabet="abc ", min_size=200, max_size=400), st.integers(0, 150))
 def test_winnow_guarantee(doc, offset):

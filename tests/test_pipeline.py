@@ -112,7 +112,7 @@ def test_live_progress_without_store(spark, docs_df):
     out["report"].count()
     out["release"]()
     stages = {e.stage for e in tracker.events if e.kind == "end"}
-    assert {"membership", "signatures", "pairs", "components"} <= stages
+    assert {"membership", "signatures_dual", "pairs", "components"} <= stages
     assert seen_live == tracker.events  # streamed as they happened
     assert all(
         e.wall_ms is not None and e.wall_ms >= 0
