@@ -428,26 +428,140 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame
     return normal_pairs.unionByName(hot_star).unionByName(hot_salt_pairs).distinct()
 
 
+def estimated_jaccard_col(mh_a, mh_b, num_perm: int):
+    """MinHash Jaccard estimate: fraction of equal signature components.
+    Pure Catalyst (zip_with + aggregate over two BIGINT arrays) — stays in
+    whole-stage codegen, no Python."""
+    eq = F.zip_with(mh_a, mh_b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_perm)
+
+
+def est_prefilter(
+    candidates: DataFrame, sigs: DataFrame, cfg: DedupConfig = CANONICAL
+) -> DataFrame:
+    """Drop candidate pairs whose MinHash-estimated Jaccard is below
+    jaccard_threshold - cfg.verify_est_margin BEFORE the exact verify
+    (r3 VERDICT #2a — the pairs stage measured 0.326 scaling efficiency,
+    below even the 0.41 DRAM ceiling, because the ~5.6 KB/doc shingle
+    arrays shuffled through two joins for EVERY candidate).
+
+    The signatures are already materialized (~1 KB/row, 5x narrower than
+    the shingle arrays), so this join is the cheap one; on boilerplate-
+    heavy webtext the surviving set is a small fraction of LSH candidates
+    (sub-threshold bucket collisions dominate), so the wide shingle
+    recompute + both verify joins shrink by the same fraction. Recall cost
+    is bounded and documented on cfg.verify_est_margin (~1e-5 per true
+    pair at the canonical config — inside the 0.99 gate by four orders of
+    magnitude; the sf0.01 oracle gate and the planted-truth suite measure
+    the realized effect: zero lost pairs)."""
+    mh = sigs.select("url", "minhash")
+    est_t = cfg.jaccard_threshold - cfg.verify_est_margin
+    return (
+        candidates.join(
+            mh.withColumnRenamed("url", "url_a").withColumnRenamed("minhash", "mh_a"),
+            "url_a",
+        )
+        .join(
+            mh.withColumnRenamed("url", "url_b").withColumnRenamed("minhash", "mh_b"),
+            "url_b",
+        )
+        .filter(estimated_jaccard_col(F.col("mh_a"), F.col("mh_b"), cfg.num_perm)
+                >= F.lit(est_t))
+        .select("url_a", "url_b")
+    )
+
+
+def make_pair_jaccard_udf(cfg: DedupConfig = CANONICAL):
+    """Vectorized exact-Jaccard kernel over (text_a, text_b) pairs: both
+    shingle sets are recomputed IN the kernel (chunked batch hasher, each
+    distinct text in the batch shingled once — star-edge anchors repeat
+    across pairs) and only the double score leaves Python. Value-identical
+    to the JVM array_intersect/array_union path: same blake2b k-gram hash
+    chain, |A∩B|/|A∪B| over the same uint64 sets, IEEE double division."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    k = cfg.shingle_k
+
+    @pandas_udf(DoubleType())
+    def pair_jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        uniq: dict[str, int] = {}
+        n = len(text_a)
+        idx_a = np.empty(n, dtype=np.int64)
+        idx_b = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(text_a):
+            idx_a[i] = uniq.setdefault(t if t is not None else "", len(uniq))
+        for i, t in enumerate(text_b):
+            idx_b[i] = uniq.setdefault(t if t is not None else "", len(uniq))
+        arrs = _batch_shingle_hashes(list(uniq), k)
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            a, b = arrs[idx_a[i]], arrs[idx_b[i]]
+            # arrays are sorted-unique (np.unique output)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            out[i] = inter / union if union else np.nan
+        return pd.Series(out)
+
+    return pair_jaccard
+
+
 def verify_pairs(
     candidates: DataFrame,
     sigs: DataFrame,
     cfg: DedupConfig = CANONICAL,
     registry: list | None = None,
 ) -> DataFrame:
-    """Exact-Jaccard confirmation of candidates (J3). JVM-side set algebra on
-    the shingle arrays — the pandas-UDF-free verify path.
+    """Exact-Jaccard confirmation of candidates (J3).
 
-    ``sigs`` either carries a precomputed ``shingles`` column, or carries
-    ``extracted`` text and the shingle hashes are recomputed HERE for the
-    candidate urls only: candidates are a small fraction of the corpus (LSH
-    radius-search selectivity), so pruning BEFORE the shingle UDF keeps the
-    wide ~KB/row arrays out of the signature stage entirely — emitting them
-    for every doc was the measured 32-core DRAM-bandwidth anti-scaler."""
+    ``sigs`` either carries a precomputed ``shingles`` column (incremental
+    resume path — JVM set algebra on the stored arrays), or carries
+    ``extracted`` text, in which case cfg.verify_strategy picks the data
+    movement:
+
+      * 'rehash' (default): candidate pairs join the pruned TEXT (the pair
+        table broadcast when hinted, so the first join is map-side) and one
+        vectorized kernel recomputes both shingle sets per pair, emitting
+        only the score. The text (~2.5-4.2 KB/doc on webtext) is NARROWER
+        than the ~5.6 KB/doc shingle-hash arrays derived from it, and
+        string pages shuffle far cheaper than BIGINT-array rows — the
+        arrays variant of this stage measured 0.326 scaling efficiency at
+        1M rows, below the 0.41 DRAM ceiling (r3 VERDICT #2).
+      * 'arrays': recompute shingle arrays for candidate urls via UDF, then
+        JVM array_intersect/array_union through both pair joins.
+
+    Candidates are a small fraction of the corpus (LSH radius-search
+    selectivity), so pruning BEFORE any recompute keeps wide data out of
+    the signature stage entirely."""
     # the hint ships only urls; cfg.broadcast_hints=False at scales where
     # the candidate url set outgrows broadcast (AQE plans the semi-join)
     needed = candidates.select(
         F.explode(F.array("url_a", "url_b")).alias("url")
     ).distinct()
+    if "shingles" not in sigs.columns and cfg.verify_strategy == "rehash":
+        pruned = sigs.select("url", "extracted").join(
+            maybe_broadcast(needed, cfg), "url", "left_semi"
+        ).persist()
+        pruned.count()  # both text joins consume this — don't race the scan
+        if registry is not None:
+            registry.append(pruned)
+        pj = make_pair_jaccard_udf(cfg)
+        a = pruned.select(
+            F.col("url").alias("url_a"), F.col("extracted").alias("text_a")
+        )
+        b = pruned.select(
+            F.col("url").alias("url_b"), F.col("extracted").alias("text_b")
+        )
+        j = (
+            maybe_broadcast(candidates, cfg)
+            .join(a, "url_a")
+            .join(b, "url_b")
+            .withColumn("score", pj(F.col("text_a"), F.col("text_b")))
+        )
+        return (
+            j.filter(F.col("score") >= F.lit(cfg.jaccard_threshold))
+            .select("url_a", "url_b", F.lit("minhash").alias("method"), "score")
+        )
     if "shingles" in sigs.columns:
         sh = sigs.select(F.col("url"), F.col("shingles")).join(
             maybe_broadcast(needed, cfg), "url", "left_semi"
@@ -532,6 +646,10 @@ def incremental_minhash_pairs(
         cands = cands.join(
             existing_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
         )
+    if cfg.verify_est_margin is not None:
+        # same estimate-prune as the batch path — incremental and batch must
+        # confirm the same pair set (equivalence is test-pinned)
+        cands = est_prefilter(cands, all_sigs, cfg)
     return new_sigs, verify_pairs(cands, all_sigs, cfg)
 
 
@@ -565,10 +683,17 @@ def minhash_pairs(
         sigs.count()
         if registry is not None:
             registry.append(sigs)
+    raw_cands = candidate_pairs(band_table(sigs, cfg), cfg)
+    if cfg.verify_est_margin is not None and "minhash" in sigs.columns:
+        # estimate-prune on the narrow signatures BEFORE anything wide moves
+        # (see est_prefilter); raw candidates have exactly one consumer (the
+        # estimate join), so they stay lazy — only the surviving set is
+        # cached for verify's three consumers
+        raw_cands = est_prefilter(raw_cands, sigs, cfg)
     # cands is consumed three times in verify (the url prune + both pair
     # joins); it is small (LSH selectivity) — persist AND materialize so the
     # band self-join runs once, not per racing consumer stage
-    cands = candidate_pairs(band_table(sigs, cfg), cfg).persist()
+    cands = raw_cands.persist()
     cands.count()
     if registry is not None:
         registry.append(cands)
