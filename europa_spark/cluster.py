@@ -147,7 +147,23 @@ def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
             )
-        )
+        ).persist()
+        # convergence is checked BEFORE pointer doubling (r3 VERDICT #3 —
+        # the components stage was a corpus-independent ~8 s driver floor):
+        # a propagation fixpoint already has equal labels across every edge
+        # (stability at both endpoints gives label(u) <= label(v) and
+        # label(v) <= label(u)), i.e. every component is uniformly labeled
+        # with its min, so doubling cannot change anything. Web dedup
+        # graphs are forests of stars (exact groups + hot-bucket routing
+        # emit anchor->member edges) whose init labels are already final —
+        # they now pay init + ONE propagate/count job instead of init plus
+        # a full round of propagate + doubling join + checkpoint + count.
+        # The count job below also materializes the persisted `stepped`, so
+        # non-final rounds don't recompute it for the doubling join.
+        changed = stepped.filter("label != old_label").count()
+        if changed == 0:
+            stepped.unpersist()
+            break
         # pointer doubling: also adopt my label's label — turns the
         # O(diameter) propagation into O(log diameter) rounds
         lut = stepped.select(
@@ -158,21 +174,15 @@ def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
         )
         new_labels = (
             stepped.join(lut, stepped["label"] == lut["l_url"], "left")
-            .select(
-                "url",
-                final_label.alias("label"),
-                (final_label != F.col("old_label")).alias("changed"),
-            )
+            .select("url", final_label.alias("label"))
         )
         # checkpoint cuts the per-round lineage growth; the PREVIOUS round's
         # checkpoint is superseded the moment this one materializes — free it
         new_labels, new_ids = _tracked_local_checkpoint(new_labels)
-        changed = new_labels.filter("changed").count()  # cheap: materialized
+        stepped.unpersist()
         _unpersist_ids(spark, prev_ids)
         prev_ids = new_ids
-        labels = new_labels.select("url", "label")
-        if changed == 0:
-            break
+        labels = new_labels
     else:
         raise RuntimeError(f"union-find did not converge in {max_iter} rounds")
 
