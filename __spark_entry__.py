@@ -341,7 +341,16 @@ def _q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn_cosine_blocked(load_embeddings(spark, sf_dir), k=5)
+    """Float-cosine top-k, gated on (vec_id, neighbor_id, rank) ONLY
+    (r3 VERDICT #6): the raw double score can't hash-match across engines
+    (different BLAS/fold accumulation orders give ulp drift), but neighbor
+    identity and rank order are stable — distinct neighbors' cosines on
+    this corpus differ by far more than the ~1e-15 drift, and exact ties
+    (identical vectors) break by neighbor_id identically on both sides.
+    The in-repo API (knn_cosine_blocked) still returns the score."""
+    return knn_cosine_blocked(load_embeddings(spark, sf_dir), k=5).select(
+        "vec_id", "neighbor_id", "rank"
+    )
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,7 +412,10 @@ _FAKE_HEADER = b"FAKE3224"
 
 
 def _with_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _clean(spark, sf_dir)
+    # ASCII enforced loudly: every media oracle (metadata length, sha over
+    # the VARCHAR-space blob, the dhash pixel twin) indexes CHARACTERS while
+    # the Spark side encodes UTF-8 BYTES
+    d = _assert_ascii(_clean(spark, sf_dir))
     return d.select(
         "url",
         F.concat(
@@ -436,6 +448,22 @@ def _q_media_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from europa_spark.multimodal import media_signatures
 
     return media_signatures(_with_media(spark, sf_dir))
+
+
+def _q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash-64 over the FAKE media (DifferenceHash.cs:20-46 value-for-value)
+    — the first media hash with a VALUE oracle (r3 VERDICT #4): the DuckDB
+    twin replays decode -> area-mean resize -> gradient bits FLOAT-FAITHFULLY
+    (see _dhash_sql — exact-rational comparison alone mismatches 17/500 docs
+    on tie-jitter, so the twin reproduces numpy's prefix-sum float chain via
+    ordered list_reduce folds). Runs the real media_signatures mapInPandas
+    path; pHash (float DCT) and block-mean stay rows-only in
+    media_signatures."""
+    from europa_spark.multimodal import media_signatures
+
+    return media_signatures(_with_media(spark, sf_dir)).select(
+        "url", "width", "height", "dhash"
+    )
 
 
 def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +538,41 @@ def _q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_dups(sigs).select("url_a", "url_b", "score")
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard driver signal on the §2.8 exactly-once incremental machinery
+    (r3 VERDICT #8): sf0.01 is split into 3 deterministic batches
+    (xxhash64(url) mod 3) and fed through the REAL foreachBatch handler
+    (streaming.process_batch_neardup — parquet state partitions, batch_id <
+    N state reads), then batch 1 is REPLAYED to exercise the overwrite
+    idempotence the streaming checkpoint-recovery path relies on. The
+    accumulated pair log must equal the one-shot batch result, so the
+    oracle is the same brute-force exact-Jaccard twin as minhash_lsh_pairs
+    (each pair is discovered exactly once — when its later member's batch
+    probes the accumulated band index)."""
+    import shutil
+    import tempfile
+
+    from europa_spark.streaming import process_batch_neardup, read_neardup_pairs
+
+    docs = load_canonical(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="europa_inc_gate_")
+    try:
+        for bid in range(3):
+            batch = docs.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == bid)
+            process_batch_neardup(batch, bid, state_dir)
+        # replay batch 1: exactly-once means the final log is unchanged
+        process_batch_neardup(
+            docs.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 1), 1, state_dir
+        )
+        return (
+            read_neardup_pairs(spark, state_dir)
+            .select("url_a", "url_b", F.col("score").alias("jaccard"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_report": _q_exact_report,
@@ -537,10 +600,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "media_metadata": _q_media_metadata,
         "media_exact_dups": _q_media_exact_dups,
+        "media_dhash": _q_media_dhash,
         "media_signatures": _q_media_signatures,
         "media_phash_pairs": _q_media_phash_pairs,
         "video_dup_pairs": _q_video_dup_pairs,
         "corpus_curation": _q_corpus_curation,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -813,6 +878,60 @@ m AS (
 """
 
 
+def _dhash_sql() -> str:
+    """DuckDB twin of multimodal.dhash64 over the FAKE3224 blob — the full
+    decode -> 8x9 area-mean resize -> gradient-bit chain, FLOAT-FAITHFUL
+    (DifferenceHash.cs:20-46 semantics).
+
+    Exactness argument: pixels are text bytes tiled to 32x24 (pixel p =
+    ord(char at p mod len)). The ROW pass means 3-row integer sums through
+    exact float arithmetic, so rm = fl(S/3) — DuckDB's CAST/3.0 rounds
+    identically. The COLUMN pass in numpy is cumsum -> prefix differences
+    -> /width; replaying the SAME fold-left addition order with
+    list_reduce over the ordered 32-value row gives bit-identical prefix
+    doubles, so every comparison — including the 49 exact-rational ties at
+    sf0.01 whose float jitter flips 17 hashes — resolves identically.
+    Pure-integer cross-multiplication is NOT used for exactly this reason.
+    """
+    edges = [0, 3, 7, 10, 14, 17, 21, 24, 28, 32]  # floor(j*32/9)
+    widths = [edges[i + 1] - edges[i] for i in range(9)]
+    pre = "[" + ", ".join(
+        ["0.0"] + [f"list_reduce(l[1:{e}], (a,b) -> a + b)" for e in edges[1:]]
+    ) + "]"
+
+    def mean(j: int) -> str:  # 0-based col-block index
+        return f"((pre[{j + 2}] - pre[{j + 1}]) / {widths[j]}.0)"
+
+    bits = " + ".join(
+        f"(CASE WHEN {mean(j + 1)} > {mean(j)} "
+        f"THEN (1::HUGEINT << (8*rb + {j})) ELSE 0::HUGEINT END)"
+        for j in range(8)
+    )
+    return f"""
+WITH d AS ({DOCS_SQL}),
+m AS (
+  SELECT url, text FROM d
+  WHERE text IS NOT NULL AND NOT regexp_matches(text, '^[ \t\n\r\f\x0B]*$')
+),
+pix AS (
+  SELECT url,
+         ord(substr(text, CAST((p % length(text)) + 1 AS INT), 1)) AS v,
+         (p // 32) AS r, (p % 32) AS c
+  FROM m, range(0, 768) t(p)
+),
+rs AS (SELECT url, (r // 3) AS rb, c, sum(v) AS s FROM pix GROUP BY url, rb, c),
+lst AS (SELECT url, rb, list(CAST(s AS DOUBLE) / 3.0 ORDER BY c) AS l
+        FROM rs GROUP BY url, rb),
+pr AS (SELECT url, rb, {pre} AS pre FROM lst),
+db AS (SELECT url, rb, {bits} AS part FROM pr),
+sig AS (SELECT url, sum(part) AS s FROM db GROUP BY url)
+SELECT url, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+       CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+            THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS dhash
+FROM sig
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_report": f"""
@@ -868,6 +987,18 @@ WHERE a.url < b.url
         # LSH + exact verify == brute-force exact Jaccard when candidate
         # recall is 1.0 (verified at this scale; fixture tests gate recall)
         "minhash_lsh_pairs": _SHINGLES_CTE
+        + f"""
+SELECT a.url AS url_a, b.url AS url_b,
+       len(list_intersect(a.sh, b.sh))
+         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+FROM s a, s b
+WHERE a.url < b.url
+  AND len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_T}
+""",
+        # the accumulated incremental foreachBatch pair log must equal the
+        # one-shot batch result — same brute-force exact-Jaccard twin
+        "incremental_dedup": _SHINGLES_CTE
         + f"""
 SELECT a.url AS url_a, b.url AS url_b,
        len(list_intersect(a.sh, b.sh))
@@ -964,10 +1095,41 @@ WHERE lid.lang_pred = '{CURATION_LANG}'
   AND NOT (c.url IS NOT NULL AND c.cluster_id <> d.url)
 """,
         "knn_quantized": knn_exact_quantized_sql(k=5),
+        # rank-only twin (float scores can't hash-match across engines —
+        # see _q_knn_cosine); zero-norm guard mirrors the numpy kernel
+        "knn_cosine": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, ev,
+         CASE WHEN sqrt(list_sum(list_transform(ev, x -> x * x))) = 0
+              THEN 1.0
+              ELSE sqrt(list_sum(list_transform(ev, x -> x * x))) END AS nrm
+  FROM v
+),
+d AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(a.ev) + 1),
+                  i -> a.ev[i] * b.ev[i])) / (a.nrm * b.nrm) AS cosine
+  FROM n a, n b WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM d
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
         "embedding_dup_pairs": embedding_dup_pairs_sql(threshold=EMB_DUP_THRESHOLD),
         # brute-force integer pair predicate + recursive-CTE closure — the
         # dedup_clusters technique over the embeddings table
         "embedding_dup_clusters": _embedding_dup_clusters_sql(),
+        # float-faithful dHash replay (decode -> resize -> gradient bits)
+        "media_dhash": _dhash_sql(),
         "media_metadata": _MEDIA_CTE
         + r"""
 SELECT url,
