@@ -65,6 +65,12 @@ def build_session(
         # clusters with long lineages and bounded local disks.
         .config("spark.cleaner.periodicGC.interval", os.environ.get(
             "SPARK_GRAFT_PERIODIC_GC", "90s"))
+        # shuffle/spill codec. lz4 default; zstd trades ~nothing in wall
+        # (r3 conf sweep: inside noise) for a visibly smaller scratch
+        # footprint — the knob that fits RAM/disk-bounded scratch at the
+        # largest per-box corpus sizes
+        .config("spark.io.compression.codec", os.environ.get(
+            "SPARK_GRAFT_IO_CODEC", "lz4"))
         # decode(html,'UTF-8') must map invalid bytes to U+FFFD (FIXTURES.md §2
         # rule 2a); Spark 4 default is to raise MALFORMED_CHARACTER_CODING
         .config("spark.sql.legacy.codingErrorAction", "true")
