@@ -66,6 +66,26 @@ def connected_components(
     def _loop_parts(n_adj_rows: int) -> int:
         return max(4, min(session_parts, 1 + n_adj_rows // 50_000))
 
+    if n_edges_hint is not None and n_edges_hint <= _FUSE_MAX_EDGES:
+        # SMALL-GRAPH FAST PATH (the common web-dedup case): the graph is a
+        # forest of stars (exact groups and hot-bucket routing emit
+        # anchor->member edges), so hash-to-min converges at round 1 and the
+        # driver floor is pure job-scheduling latency. Skip BOTH eager
+        # checkpoints (adjacency + init labels) and let round 1 compute
+        # everything in ONE Spark job: adjacency and init labels stay lazy
+        # (recomputed 2-3x inside that job's DAG — bounded, JVM-only
+        # aggregation over the caller's already-materialized pair table),
+        # and the first `stepped` is persisted, so on round-1 convergence it
+        # IS the answer. 3 driver jobs -> 1 (r3 VERDICT "next round" #3).
+        # Multi-round small graphs re-derive the lazy adjacency per round —
+        # acceptable under the edge cap; big graphs take the checkpointed
+        # path below.
+        return _cc_loop(
+            adj.repartition(_loop_parts(2 * n_edges_hint), "url_b"),
+            max_iter,
+            fused_init=True,
+        )
+
     if n_edges_hint is not None:
         # single pass: repartition to the hinted size while materializing
         adj, adj_ids = _tracked_local_checkpoint(
@@ -89,6 +109,14 @@ def connected_components(
         # the moment the loop returns
         _unpersist_ids(pairs.sparkSession, adj_ids)
 
+
+# fused-init edge cap: under this many undirected edges the lazy adjacency /
+# init-label recompute inside round 1's single job is cheaper than the two
+# eager checkpoint jobs it replaces (narrow JVM shuffles over a materialized
+# pair table; ~2M edges * ~100 B/row ~ a few hundred MB, seconds of agg work)
+_FUSE_MAX_EDGES = int(__import__("os").environ.get(
+    "EUROPA_CC_FUSE_MAX_EDGES", "2000000"
+))
 
 _CKPT_LOCK = __import__("threading").Lock()
 
@@ -122,15 +150,24 @@ def _unpersist_ids(spark, ids: set) -> None:
             rdd.unpersist(False)
 
 
-def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
+def _cc_loop(
+    adj: DataFrame, max_iter: int, fused_init: bool = False
+) -> DataFrame:
     spark = adj.sparkSession
 
     # init: label(v) = min(v, min neighbor)
-    labels, prev_ids = _tracked_local_checkpoint(
+    init = (
         adj.groupBy(F.col("url_a").alias("url"))
         .agg(F.min("url_b").alias("label"))
         .select("url", F.least("url", "label").alias("label"))
     )
+    if fused_init:
+        # small-graph path: no eager init checkpoint — round 1's job
+        # computes `init` inline (twice: join side + union side) from the
+        # lazy adjacency; the only materialization is `stepped`'s persist
+        labels, prev_ids = init, set()
+    else:
+        labels, prev_ids = _tracked_local_checkpoint(init)
 
     for it in range(max_iter):
         # propagate: every neighbor's label is a candidate for mine. The old
@@ -162,6 +199,16 @@ def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
         # non-final rounds don't recompute it for the doubling join.
         changed = stepped.filter("label != old_label").count()
         if changed == 0:
+            if it == 0 and fused_init:
+                # round-1 convergence on the fused path (stars: the init
+                # labels were already final): `stepped` — the ONLY thing
+                # this path ever materialized — IS the converged labeling.
+                # Return its persisted blocks directly; downstream
+                # consumers (clusters, report) read them without
+                # recomputing anything. Like the non-fused final
+                # checkpoint, the persist is reclaimed by ContextCleaner
+                # once the result is garbage-collected.
+                return stepped.select("url", F.col("label").alias("cluster_id"))
             stepped.unpersist()
             break
         # pointer doubling: also adopt my label's label — turns the

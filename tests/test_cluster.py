@@ -34,6 +34,50 @@ def test_long_chain_converges(spark):
     assert set(got.values()) == {"u000"}
 
 
+def _cc_fused(spark, edges):
+    # n_edges_hint under _FUSE_MAX_EDGES -> the single-job fused-init path
+    df = spark.createDataFrame(edges, "url_a string, url_b string")
+    return {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(df, n_edges_hint=len(edges)).collect()
+    }
+
+
+def test_fused_star_round1_convergence(spark):
+    # stars converge at init: the fused path returns the persisted round-1
+    # `stepped` directly (the components driver floor it exists to cut)
+    got = _cc_fused(spark, [("m", x) for x in ["n", "o", "p", "q"]])
+    assert got == {u: "m" for u in "mnopq"}
+
+
+def test_fused_multiround_fallback(spark):
+    # a chain does NOT converge at round 1 — the fused path must fall
+    # through to pointer doubling and still reach the fixpoint
+    edges = [(f"u{i:03d}", f"u{i+1:03d}") for i in range(20)]
+    got = _cc_fused(spark, edges)
+    assert set(got.values()) == {"u000"}
+
+
+def test_fused_equals_checkpointed(spark):
+    # seeded random graph: fused and checkpointed paths agree exactly
+    import random
+
+    rng = random.Random(42)
+    edges = [
+        (f"n{rng.randrange(60):02d}", f"n{rng.randrange(60):02d}")
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(edges, "url_a string, url_b string")
+    fused = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(df, n_edges_hint=len(edges)).collect()
+    }
+    plain = {
+        r["url"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert fused == plain
+
+
 def test_cluster_members_order(spark):
     import datetime
 
