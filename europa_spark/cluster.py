@@ -67,24 +67,22 @@ def connected_components(
         return max(4, min(session_parts, 1 + n_adj_rows // 50_000))
 
     if n_edges_hint is not None and n_edges_hint <= _FUSE_MAX_EDGES:
-        # SMALL-GRAPH FAST PATH (the common web-dedup case): the graph is a
-        # forest of stars (exact groups and hot-bucket routing emit
-        # anchor->member edges), so hash-to-min converges at round 1 and the
-        # driver floor is pure job-scheduling latency. Skip BOTH eager
-        # checkpoints (adjacency + init labels) and let round 1 compute
-        # everything in ONE Spark job: adjacency and init labels stay lazy
-        # (recomputed 2-3x inside that job's DAG — bounded, JVM-only
-        # aggregation over the caller's already-materialized pair table),
-        # and the first `stepped` is persisted, so on round-1 convergence it
-        # IS the answer. 3 driver jobs -> 1 (r3 VERDICT "next round" #3).
-        # Multi-round small graphs re-derive the lazy adjacency per round —
-        # acceptable under the edge cap; big graphs take the checkpointed
-        # path below.
-        return _cc_loop(
-            adj.repartition(_loop_parts(2 * n_edges_hint), "url_b"),
-            max_iter,
-            fused_init=True,
+        # SMALL-GRAPH FAST PATH: below the edge cap the loop's cost is
+        # driver round-trips, not data — run ONE Spark job per round
+        # (propagate + pointer doubling + convergence check fused; see
+        # _cc_loop_fused) instead of the big-graph path's two, and skip the
+        # separate init-labels checkpoint job (init is recomputed inside
+        # round 1's DAG from the materialized adjacency — cheap JVM agg).
+        # The adjacency IS still checkpointed: real graphs converge in
+        # multiple rounds (mutant chains), and a lazy adjacency would be
+        # re-derived from the pair table every round.
+        adj, adj_ids = _tracked_local_checkpoint(
+            adj.repartition(_loop_parts(2 * n_edges_hint), "url_b")
         )
+        try:
+            return _cc_loop_fused(adj, max_iter)
+        finally:
+            _unpersist_ids(pairs.sparkSession, adj_ids)
 
     if n_edges_hint is not None:
         # single pass: repartition to the hinted size while materializing
@@ -121,14 +119,20 @@ _FUSE_MAX_EDGES = int(__import__("os").environ.get(
 _CKPT_LOCK = __import__("threading").Lock()
 
 
-def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+def _tracked_local_checkpoint(
+    df: DataFrame, eager: bool = True
+) -> tuple[DataFrame, set]:
     """localCheckpoint + the set of persistent-RDD ids it registered, so the
     loop can free superseded rounds (C3 unpersist hygiene: without this,
     every round's label table stays in the block store for the session's
     lifetime). The before/after diff of ALL persistent RDDs would mis-capture
     a concurrent driver thread's cache on a shared session, so the
     checkpoint runs under a module lock — serializing only the (driver-side,
-    cheap) checkpoint registration, not the Spark jobs themselves."""
+    cheap) checkpoint registration, not the Spark jobs themselves.
+
+    ``eager=False`` skips the materializing count: the caller's next action
+    on the returned frame (e.g. the fused loop's convergence count) fills
+    the checkpoint blocks as a side effect of its own job."""
     jsc = df.sparkSession.sparkContext._jsc
     with _CKPT_LOCK:
         # non-eager: the persist REGISTRATION happens at mark time (cheap,
@@ -138,7 +142,8 @@ def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
         before = set(jsc.getPersistentRDDs().keySet().toArray())
         out = df.localCheckpoint(eager=False)
         after = set(jsc.getPersistentRDDs().keySet().toArray())
-    out.count()  # eager semantics preserved for callers
+    if eager:
+        out.count()  # eager semantics preserved for callers
     return out, after - before
 
 
@@ -150,24 +155,79 @@ def _unpersist_ids(spark, ids: set) -> None:
             rdd.unpersist(False)
 
 
-def _cc_loop(
-    adj: DataFrame, max_iter: int, fused_init: bool = False
-) -> DataFrame:
-    spark = adj.sparkSession
-
+def _init_labels(adj: DataFrame) -> DataFrame:
     # init: label(v) = min(v, min neighbor)
-    init = (
+    return (
         adj.groupBy(F.col("url_a").alias("url"))
         .agg(F.min("url_b").alias("label"))
         .select("url", F.least("url", "label").alias("label"))
     )
-    if fused_init:
-        # small-graph path: no eager init checkpoint — round 1's job
-        # computes `init` inline (twice: join side + union side) from the
-        # lazy adjacency; the only materialization is `stepped`'s persist
-        labels, prev_ids = init, set()
-    else:
-        labels, prev_ids = _tracked_local_checkpoint(init)
+
+
+def _cc_loop_fused(adj: DataFrame, max_iter: int) -> DataFrame:
+    """One Spark job per round (vs two on the big-graph path): propagate,
+    pointer-double, checkpoint, and convergence-check are all carried by a
+    single count on the round's checkpointed output. The count's filter is
+    the convergence test, so materialization and measurement share the job.
+
+    Correctness of checking convergence AFTER doubling (the r3 proof ran the
+    check before): doubling only lowers labels further, so for every node
+    final <= stepped <= old, hence final != old iff stepped != old — a zero
+    `changed` count still means "propagation reached its fixpoint", at which
+    point every component is uniformly labeled with its min (stability at
+    both edge endpoints, r3 proof), and the converged round's own output is
+    returned directly.
+
+    Trade vs the big-graph path: `stepped` is referenced twice inside the
+    round job (itself + the doubling lut) and is NOT pre-materialized, so
+    the propagate subtree computes twice per round. Below _FUSE_MAX_EDGES
+    that recompute is a sub-second JVM agg over the checkpointed adjacency,
+    while the job round-trip it saves is the dominant cost (the `components`
+    stage measured corpus-independent and core-count-independent — a pure
+    driver-latency floor). Init labels are likewise computed inline in
+    round 1's DAG instead of paying their own checkpoint job."""
+    spark = adj.sparkSession
+    labels, prev_ids = _init_labels(adj), set()
+
+    for _ in range(max_iter):
+        prop = adj.join(labels, adj["url_b"] == labels["url"]).select(
+            F.col("url_a").alias("url"), "label", F.lit(False).alias("is_old")
+        )
+        stepped = (
+            prop.unionByName(labels.withColumn("is_old", F.lit(True)))
+            .groupBy("url")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+            )
+        )
+        lut = stepped.select(
+            F.col("url").alias("l_url"), F.col("label").alias("l_label")
+        )
+        doubled = stepped.join(lut, stepped["label"] == lut["l_url"], "left").select(
+            "url",
+            F.least(
+                F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+            ).alias("label"),
+            "old_label",
+        )
+        ckpt, ids = _tracked_local_checkpoint(doubled, eager=False)
+        # ONE job: materializes the checkpoint blocks AND measures convergence
+        changed = ckpt.filter("label != old_label").count()
+        _unpersist_ids(spark, prev_ids)
+        prev_ids = ids
+        labels = ckpt.select("url", "label")
+        if changed == 0:
+            # the final round's checkpoint stays (it backs the returned
+            # frame); ContextCleaner reclaims it once the result is dropped
+            return labels.select("url", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"union-find did not converge in {max_iter} rounds")
+
+
+def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
+    spark = adj.sparkSession
+
+    labels, prev_ids = _tracked_local_checkpoint(_init_labels(adj))
 
     for it in range(max_iter):
         # propagate: every neighbor's label is a candidate for mine. The old
@@ -199,16 +259,6 @@ def _cc_loop(
         # non-final rounds don't recompute it for the doubling join.
         changed = stepped.filter("label != old_label").count()
         if changed == 0:
-            if it == 0 and fused_init:
-                # round-1 convergence on the fused path (stars: the init
-                # labels were already final): `stepped` — the ONLY thing
-                # this path ever materialized — IS the converged labeling.
-                # Return its persisted blocks directly; downstream
-                # consumers (clusters, report) read them without
-                # recomputing anything. Like the non-fused final
-                # checkpoint, the persist is reclaimed by ContextCleaner
-                # once the result is garbage-collected.
-                return stepped.select("url", F.col("label").alias("cluster_id"))
             stepped.unpersist()
             break
         # pointer doubling: also adopt my label's label — turns the

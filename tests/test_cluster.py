@@ -35,7 +35,7 @@ def test_long_chain_converges(spark):
 
 
 def _cc_fused(spark, edges):
-    # n_edges_hint under _FUSE_MAX_EDGES -> the single-job fused-init path
+    # n_edges_hint under _FUSE_MAX_EDGES -> the one-job-per-round fused path
     df = spark.createDataFrame(edges, "url_a string, url_b string")
     return {
         r["url"]: r["cluster_id"]
@@ -44,8 +44,8 @@ def _cc_fused(spark, edges):
 
 
 def test_fused_star_round1_convergence(spark):
-    # stars converge at init: the fused path returns the persisted round-1
-    # `stepped` directly (the components driver floor it exists to cut)
+    # stars converge at init: the fused path's first round measures zero
+    # changes and returns its own checkpointed output directly
     got = _cc_fused(spark, [("m", x) for x in ["n", "o", "p", "q"]])
     assert got == {u: "m" for u in "mnopq"}
 
