@@ -66,24 +66,19 @@ def connected_components(
     def _loop_parts(n_adj_rows: int) -> int:
         return max(4, min(session_parts, 1 + n_adj_rows // 50_000))
 
-    if n_edges_hint is not None and n_edges_hint <= _FUSE_MAX_EDGES:
-        # SMALL-GRAPH FAST PATH: below the edge cap the loop's cost is
-        # driver round-trips, not data — run ONE Spark job per round
-        # (propagate + pointer doubling + convergence check fused; see
-        # _cc_loop_fused) instead of the big-graph path's two, and skip the
-        # separate init-labels checkpoint job (init is recomputed inside
-        # round 1's DAG from the materialized adjacency — cheap JVM agg).
-        # The adjacency IS still checkpointed: real graphs converge in
-        # multiple rounds (mutant chains), and a lazy adjacency would be
-        # re-derived from the pair table every round.
-        adj, adj_ids = _tracked_local_checkpoint(
-            adj.repartition(_loop_parts(2 * n_edges_hint), "url_b")
-        )
-        try:
-            return _cc_loop_fused(adj, max_iter)
-        finally:
-            _unpersist_ids(pairs.sparkSession, adj_ids)
-
+    # NOTE on the stage's measured ~5-6 s floor at 1M rows (32 cores): the
+    # loop is bounded by per-stage scheduling latency, not data — profiled
+    # decomposition on the real 302k-edge graph: adjacency checkpoint 0.8 s,
+    # init labels 0.7 s, round 0 (propagate+count then double+checkpoint)
+    # 2.1 s, round 1 confirming convergence 1.5 s. Two fusions were built
+    # and MEASURED SLOWER, so this is the kept design: (a) lazy adjacency +
+    # round-1-convergence bet — 25 s (real graphs converge in 2 rounds, so
+    # every round re-derived the adjacency); (b) one-job-per-round with the
+    # convergence count running on the round's non-eager checkpoint — 9-10 s
+    # in-pipeline (the doubling lut references `stepped` twice, so each
+    # round paid the propagate subtree twice; stage work added exceeded the
+    # one job round-trip saved). The remaining floor is 5 irreducible jobs
+    # of a 2-round loop; it is corpus-independent and amortizes at scale.
     if n_edges_hint is not None:
         # single pass: repartition to the hinted size while materializing
         adj, adj_ids = _tracked_local_checkpoint(
@@ -108,31 +103,17 @@ def connected_components(
         _unpersist_ids(pairs.sparkSession, adj_ids)
 
 
-# fused-init edge cap: under this many undirected edges the lazy adjacency /
-# init-label recompute inside round 1's single job is cheaper than the two
-# eager checkpoint jobs it replaces (narrow JVM shuffles over a materialized
-# pair table; ~2M edges * ~100 B/row ~ a few hundred MB, seconds of agg work)
-_FUSE_MAX_EDGES = int(__import__("os").environ.get(
-    "EUROPA_CC_FUSE_MAX_EDGES", "2000000"
-))
-
 _CKPT_LOCK = __import__("threading").Lock()
 
 
-def _tracked_local_checkpoint(
-    df: DataFrame, eager: bool = True
-) -> tuple[DataFrame, set]:
+def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
     """localCheckpoint + the set of persistent-RDD ids it registered, so the
     loop can free superseded rounds (C3 unpersist hygiene: without this,
     every round's label table stays in the block store for the session's
     lifetime). The before/after diff of ALL persistent RDDs would mis-capture
     a concurrent driver thread's cache on a shared session, so the
     checkpoint runs under a module lock — serializing only the (driver-side,
-    cheap) checkpoint registration, not the Spark jobs themselves.
-
-    ``eager=False`` skips the materializing count: the caller's next action
-    on the returned frame (e.g. the fused loop's convergence count) fills
-    the checkpoint blocks as a side effect of its own job."""
+    cheap) checkpoint registration, not the Spark jobs themselves."""
     jsc = df.sparkSession.sparkContext._jsc
     with _CKPT_LOCK:
         # non-eager: the persist REGISTRATION happens at mark time (cheap,
@@ -142,8 +123,7 @@ def _tracked_local_checkpoint(
         before = set(jsc.getPersistentRDDs().keySet().toArray())
         out = df.localCheckpoint(eager=False)
         after = set(jsc.getPersistentRDDs().keySet().toArray())
-    if eager:
-        out.count()  # eager semantics preserved for callers
+    out.count()  # eager semantics preserved for callers
     return out, after - before
 
 
@@ -162,66 +142,6 @@ def _init_labels(adj: DataFrame) -> DataFrame:
         .agg(F.min("url_b").alias("label"))
         .select("url", F.least("url", "label").alias("label"))
     )
-
-
-def _cc_loop_fused(adj: DataFrame, max_iter: int) -> DataFrame:
-    """One Spark job per round (vs two on the big-graph path): propagate,
-    pointer-double, checkpoint, and convergence-check are all carried by a
-    single count on the round's checkpointed output. The count's filter is
-    the convergence test, so materialization and measurement share the job.
-
-    Correctness of checking convergence AFTER doubling (the r3 proof ran the
-    check before): doubling only lowers labels further, so for every node
-    final <= stepped <= old, hence final != old iff stepped != old — a zero
-    `changed` count still means "propagation reached its fixpoint", at which
-    point every component is uniformly labeled with its min (stability at
-    both edge endpoints, r3 proof), and the converged round's own output is
-    returned directly.
-
-    Trade vs the big-graph path: `stepped` is referenced twice inside the
-    round job (itself + the doubling lut) and is NOT pre-materialized, so
-    the propagate subtree computes twice per round. Below _FUSE_MAX_EDGES
-    that recompute is a sub-second JVM agg over the checkpointed adjacency,
-    while the job round-trip it saves is the dominant cost (the `components`
-    stage measured corpus-independent and core-count-independent — a pure
-    driver-latency floor). Init labels are likewise computed inline in
-    round 1's DAG instead of paying their own checkpoint job."""
-    spark = adj.sparkSession
-    labels, prev_ids = _init_labels(adj), set()
-
-    for _ in range(max_iter):
-        prop = adj.join(labels, adj["url_b"] == labels["url"]).select(
-            F.col("url_a").alias("url"), "label", F.lit(False).alias("is_old")
-        )
-        stepped = (
-            prop.unionByName(labels.withColumn("is_old", F.lit(True)))
-            .groupBy("url")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
-            )
-        )
-        lut = stepped.select(
-            F.col("url").alias("l_url"), F.col("label").alias("l_label")
-        )
-        doubled = stepped.join(lut, stepped["label"] == lut["l_url"], "left").select(
-            "url",
-            F.least(
-                F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
-            ).alias("label"),
-            "old_label",
-        )
-        ckpt, ids = _tracked_local_checkpoint(doubled, eager=False)
-        # ONE job: materializes the checkpoint blocks AND measures convergence
-        changed = ckpt.filter("label != old_label").count()
-        _unpersist_ids(spark, prev_ids)
-        prev_ids = ids
-        labels = ckpt.select("url", "label")
-        if changed == 0:
-            # the final round's checkpoint stays (it backs the returned
-            # frame); ContextCleaner reclaims it once the result is dropped
-            return labels.select("url", F.col("label").alias("cluster_id"))
-    raise RuntimeError(f"union-find did not converge in {max_iter} rounds")
 
 
 def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:

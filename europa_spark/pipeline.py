@@ -116,6 +116,10 @@ def run(
 
     def stage(name: str, compute):
         _t0 = _time.time() if (tracker is None) else tracker.begin(name)
+        # tag every job this stage launches (thread-local): the Spark UI and
+        # the event log then attribute shuffle/CPU metrics to the pipeline
+        # stage by name (tools/stage_bytes.py reads them back)
+        spark.sparkContext.setJobDescription(f"europa:{name}")
         try:
             if store is None:
                 # store-less: stages stay lazy; only genuinely
@@ -126,6 +130,7 @@ def run(
             df, _ = store.get_or_compute(spark, name, compute)
             return df
         finally:
+            spark.sparkContext.setJobDescription(None)
             if tracker is not None:
                 tracker.end(name, _t0)
             if _timing:

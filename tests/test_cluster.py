@@ -34,8 +34,8 @@ def test_long_chain_converges(spark):
     assert set(got.values()) == {"u000"}
 
 
-def _cc_fused(spark, edges):
-    # n_edges_hint under _FUSE_MAX_EDGES -> the one-job-per-round fused path
+def _cc_hinted(spark, edges):
+    # n_edges_hint supplied -> the single-pass adjacency build path
     df = spark.createDataFrame(edges, "url_a string, url_b string")
     return {
         r["url"]: r["cluster_id"]
@@ -43,23 +43,23 @@ def _cc_fused(spark, edges):
     }
 
 
-def test_fused_star_round1_convergence(spark):
-    # stars converge at init: the fused path's first round measures zero
-    # changes and returns its own checkpointed output directly
-    got = _cc_fused(spark, [("m", x) for x in ["n", "o", "p", "q"]])
+def test_hinted_star_round1_convergence(spark):
+    # stars converge at init: round 0's propagate+count job measures zero
+    # changes and the loop exits before any pointer doubling
+    got = _cc_hinted(spark, [("m", x) for x in ["n", "o", "p", "q"]])
     assert got == {u: "m" for u in "mnopq"}
 
 
-def test_fused_multiround_fallback(spark):
-    # a chain does NOT converge at round 1 — the fused path must fall
-    # through to pointer doubling and still reach the fixpoint
+def test_hinted_multiround(spark):
+    # a chain does NOT converge at round 1 — the hinted path must run
+    # pointer doubling across rounds and still reach the fixpoint
     edges = [(f"u{i:03d}", f"u{i+1:03d}") for i in range(20)]
-    got = _cc_fused(spark, edges)
+    got = _cc_hinted(spark, edges)
     assert set(got.values()) == {"u000"}
 
 
-def test_fused_equals_checkpointed(spark):
-    # seeded random graph: fused and checkpointed paths agree exactly
+def test_hinted_equals_unhinted(spark):
+    # seeded random graph: hinted and unhinted adjacency builds agree exactly
     import random
 
     rng = random.Random(42)
@@ -68,14 +68,14 @@ def test_fused_equals_checkpointed(spark):
         for _ in range(80)
     ]
     df = spark.createDataFrame(edges, "url_a string, url_b string")
-    fused = {
+    hinted = {
         r["url"]: r["cluster_id"]
         for r in connected_components(df, n_edges_hint=len(edges)).collect()
     }
     plain = {
         r["url"]: r["cluster_id"] for r in connected_components(df).collect()
     }
-    assert fused == plain
+    assert hinted == plain
 
 
 def test_cluster_members_order(spark):
