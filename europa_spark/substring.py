@@ -171,8 +171,18 @@ def substring_pairs(
         .filter((F.col("count") > 1) & (F.col("count") <= max_df))
         .select("fp")
     )
-    fps = fps.join(rare, "fp")
-    a, b = fps.alias("a"), fps.alias("b")
+    # SHUFFLE_HASH on the small sides: the default sort-merge plan SORTS the
+    # full exploded fingerprint relation for the df-cap join — TWICE, once
+    # per self-join alias — and those sort buffers shrink linearly with
+    # core count. Measured at 1M rows (tools/stage_bytes.py, event-log task
+    # metrics): 0 MB spilled at 8 cores vs 9,067 MB at 32 in this one
+    # stage, doubling its summed task time — the `pairs` stage's scaling
+    # asymmetry. A shuffled hash join builds a per-partition map of the
+    # RARE side (df-capped survivors, a small fraction of all fingerprints)
+    # and streams the 40M-row exploded side unsorted; likewise for the
+    # self-join's build side. Spark >= 3.2 spills build maps gracefully.
+    fps = fps.join(rare.hint("shuffle_hash"), "fp")
+    a, b = fps.alias("a"), fps.hint("shuffle_hash").alias("b")
     votes = (
         a.join(b, "fp")
         .filter(F.col("a.uid") < F.col("b.uid"))

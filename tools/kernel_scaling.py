@@ -188,7 +188,7 @@ def main() -> None:
         "value": table["pair_verify"]["efficiency"],
         "unit": "ratio",
         "kernels": table,
-        "docs": len(texts),
+        "docs": n,
         "pairs": len(_PAIR_A),
         "protocol": (
             f"{RUNS} interleaved multiprocessing runs per level, chunk={CHUNK},"

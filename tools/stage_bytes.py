@@ -79,7 +79,35 @@ def parse_eventlog(path: str) -> dict[str, dict[str, float]]:
             },
         )
 
-    with open(path) as f:
+    # Spark 4 rolling event logs are DIRECTORIES (eventlog_v2_<app>/events_*)
+    if os.path.isdir(path):
+        files = sorted(
+            p for p in glob.glob(os.path.join(path, "*"))
+            if os.path.basename(p).startswith("events")
+        )
+    else:
+        files = [path]
+    for fp in files:
+        _parse_file(fp, stage_to_desc, bucket)
+    return agg
+
+
+def _open_eventlog(path: str):
+    # Spark 4 compresses rolling event logs (zstd by default); the python
+    # zstandard module is not in this container, so shell out to the CLI
+    if path.endswith(".zstd"):
+        import io
+        import subprocess
+
+        proc = subprocess.Popen(
+            ["zstd", "-dc", path], stdout=subprocess.PIPE
+        )
+        return io.TextIOWrapper(proc.stdout)
+    return open(path)
+
+
+def _parse_file(path: str, stage_to_desc: dict, bucket) -> None:
+    with _open_eventlog(path) as f:
         for line in f:
             try:
                 ev = json.loads(line)
@@ -112,7 +140,6 @@ def parse_eventlog(path: str) -> dict[str, dict[str, float]]:
                 ) / 1e6
                 im = m.get("Input Metrics") or {}
                 b["input_mb"] += im.get("Bytes Read", 0) / 1e6
-    return agg
 
 
 def main() -> None:
@@ -121,7 +148,12 @@ def main() -> None:
     corpus_dir = ensure_bench_corpus()
     log_dir = f"/tmp/europa_eventlog_{cpus}"
     for old in glob.glob(f"{log_dir}/*"):
-        os.remove(old)
+        if os.path.isdir(old):
+            import shutil
+
+            shutil.rmtree(old)
+        else:
+            os.remove(old)
     wall = run_with_eventlog(cpus, corpus_dir, log_dir)
     logs = sorted(glob.glob(f"{log_dir}/*"), key=os.path.getmtime)
     agg = parse_eventlog(logs[-1])
