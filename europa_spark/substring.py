@@ -252,15 +252,20 @@ def incremental_substring_pairs(
         .filter((F.col("count") > 1) & (F.col("count") <= max_df))
         .select("fp")
     )
+    # same SHUFFLE_HASH rationale as the batch path: never sort the exploded
+    # index relation (grows with the accumulated corpus) for the df-cap join
+    # — build the per-partition map from the small rare side instead, and
+    # probe-side-build the pair join (probes are one batch's fingerprints)
     probes = (
-        new_fps.select("uid", "url", F.explode("fps").alias("fp")).join(rare, "fp")
+        new_fps.select("uid", "url", F.explode("fps").alias("fp"))
+        .join(rare.hint("shuffle_hash"), "fp")
     )
-    indexed = index.join(rare, "fp")
+    indexed = index.join(rare.hint("shuffle_hash"), "fp")
     # (probe=new) x (index=all): new-vs-old pairs appear once per shared fp,
     # new-vs-new twice (both directions) — canonicalize + distinct before
     # counting votes (fps are per-doc distinct, so (a, b, fp) is unique)
     hits = (
-        probes.alias("p")
+        probes.hint("shuffle_hash").alias("p")
         .join(indexed.alias("i"), "fp")
         .filter(F.col("p.uid") != F.col("i.uid"))
         .select(
