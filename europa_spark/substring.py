@@ -171,18 +171,23 @@ def substring_pairs(
         .filter((F.col("count") > 1) & (F.col("count") <= max_df))
         .select("fp")
     )
-    # SHUFFLE_HASH on the small sides: the default sort-merge plan SORTS the
-    # full exploded fingerprint relation for the df-cap join — TWICE, once
-    # per self-join alias — and those sort buffers shrink linearly with
-    # core count. Measured at 1M rows (tools/stage_bytes.py, event-log task
-    # metrics): 0 MB spilled at 8 cores vs 9,067 MB at 32 in this one
+    # SHUFFLE_HASH on the RARE side only: the default sort-merge plan SORTS
+    # the full exploded fingerprint relation for the df-cap join — TWICE,
+    # once per self-join alias — and those sort buffers shrink linearly
+    # with core count. Measured at 1M rows (tools/stage_bytes.py, event-log
+    # task metrics): 0 MB spilled at 8 cores vs 9,067 MB at 32 in this one
     # stage, doubling its summed task time — the `pairs` stage's scaling
     # asymmetry. A shuffled hash join builds a per-partition map of the
-    # RARE side (df-capped survivors, a small fraction of all fingerprints)
-    # and streams the 40M-row exploded side unsorted; likewise for the
-    # self-join's build side. Spark >= 3.2 spills build maps gracefully.
+    # rare side (df-capped survivors' fp keys, the one relation here that
+    # does NOT grow with the corpus-duplication volume) and streams the
+    # exploded side unsorted: pairs stage 27.3 -> 14.3 s at 32 cores/1M.
+    # The SELF-join deliberately stays sort-merge: its inputs are already
+    # rare-filtered (small), and a 3M-row experiment that hash-built the
+    # filtered side measured the stage at 94.7 s on 32 cores vs 60.5 SMJ —
+    # a build side that scales with the corpus thrashes exactly when
+    # per-task memory is smallest.
     fps = fps.join(rare.hint("shuffle_hash"), "fp")
-    a, b = fps.alias("a"), fps.hint("shuffle_hash").alias("b")
+    a, b = fps.alias("a"), fps.alias("b")
     votes = (
         a.join(b, "fp")
         .filter(F.col("a.uid") < F.col("b.uid"))
@@ -264,6 +269,8 @@ def incremental_substring_pairs(
     # (probe=new) x (index=all): new-vs-old pairs appear once per shared fp,
     # new-vs-new twice (both directions) — canonicalize + distinct before
     # counting votes (fps are per-doc distinct, so (a, b, fp) is unique)
+    # probes are ONE batch's fingerprints — bounded per batch, not by the
+    # accumulated corpus — so they are a safe shuffled-hash build side
     hits = (
         probes.hint("shuffle_hash").alias("p")
         .join(indexed.alias("i"), "fp")
