@@ -376,7 +376,9 @@ def band_table(sigs: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
     )
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig = CANONICAL, registry: list | None = None
+) -> DataFrame:
     """Distinct candidate (url_a < url_b) pairs from band collisions.
 
     Buckets <= bucket_cap: all-pairs equi self-join (J2). Oversized buckets
@@ -390,6 +392,20 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame
     is hot and salted apart — is the documented trade vs the reference's
     unbounded radius search (adversarial fixture: tests/test_minhash.py).
     """
+    # MATERIALIZE the band table ONCE, pre-partitioned on the bucket key:
+    # event-log profiling (tools/spark_stage_detail.py, 1M rows) caught the
+    # lazy band subtree re-reading the wide signature cache and re-writing
+    # its own ~340 MB exchange SIX times — once per downstream reference
+    # (stats agg, sized join, and the normal/hot splits) — because AQE does
+    # not reuse exchanges across separate DataFrame references. One
+    # repartition exchange at persist time makes the stats aggregation, the
+    # sized join, and the sub-cap self-join all exchange-free
+    # (HashPartitioning(band_idx, band_hash) satisfies each downstream
+    # distribution; only the salted hot-bucket join re-keys).
+    bands = bands.repartition("band_idx", "band_hash").persist()
+    bands.count()  # eager: stats + sized race this in one job
+    if registry is not None:
+        registry.append(bands)
     # bucket stats via hash aggregation (map-side partial combine), NOT a
     # window: a window would shuffle+sort the full bands table, while the
     # aggregate shuffles one compact row per distinct bucket and the filter
@@ -400,7 +416,13 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig = CANONICAL) -> DataFrame
         .agg(F.count("*").alias("bucket_n"), F.min("url").alias("bucket_min"))
         .filter(F.col("bucket_n") >= 2)
     )
-    sized = bands.join(stats, ["band_idx", "band_hash"])
+    # sized is consumed by the normal AND hot branches (and hot by three
+    # references) — persist so the stats agg + join run once, off the
+    # bands cache, instead of once per branch
+    sized = bands.join(stats, ["band_idx", "band_hash"]).persist()
+    sized.count()
+    if registry is not None:
+        registry.append(sized)
     normal = sized.filter(F.col("bucket_n") <= cfg.bucket_cap).select(
         "band_idx", "band_hash", "url"
     )
@@ -683,7 +705,7 @@ def minhash_pairs(
         sigs.count()
         if registry is not None:
             registry.append(sigs)
-    raw_cands = candidate_pairs(band_table(sigs, cfg), cfg)
+    raw_cands = candidate_pairs(band_table(sigs, cfg), cfg, registry=registry)
     if cfg.verify_est_margin is not None and "minhash" in sigs.columns:
         # estimate-prune on the narrow signatures BEFORE anything wide moves
         # (see est_prefilter); raw candidates have exactly one consumer (the

@@ -160,34 +160,49 @@ def substring_pairs(
         fp_arrays = fp_arrays.select("uid", "url", "fps")
     id_map = fp_arrays.select("uid", "url")
     # fingerprints are np.unique'd per doc inside the kernel, so (uid, fp)
-    # is already distinct — no dedup shuffle needed
-    fps = fp_arrays.select("uid", F.explode("fps").alias("fp"))
+    # is already distinct — no dedup shuffle needed.
+    #
+    # MATERIALIZE the exploded relation ONCE, pre-partitioned on fp: event-log
+    # profiling (tools/spark_stage_detail.py, 1M rows) showed each lazy
+    # reference to this subtree re-reading the wide dual cache (~1.3 GB) and
+    # re-writing its own exchange — the df-cap agg, the rare join, and both
+    # self-join aliases each paid the full explode, ~4x duplicated bytes in
+    # the one stage already pinned at the DRAM ceiling. AQE does not reuse
+    # exchanges across separate DataFrame references, so the dedup is
+    # explicit: one repartition("fp") exchange at persist time, after which
+    # the df-cap groupBy, the rare join, and the self-join are all
+    # exchange-free (HashPartitioning(fp) satisfies every downstream
+    # distribution; AQE leaves cached-plan partitioning intact by default).
+    fps = (
+        fp_arrays.select("uid", F.explode("fps").alias("fp"))
+        .repartition("fp")
+        .persist()
+    )
+    fps.count()  # eager: 2 consumers (df-cap agg + rare join) race this
+    if registry is not None:
+        registry.append(fps)
     # stop-fingerprint cap: a fingerprint shared by thousands of docs is
-    # boilerplate, not evidence of a copied passage. Count shuffle carries
-    # fp only (column pruning) + map-side combine.
+    # boilerplate, not evidence of a copied passage. Aggregation runs
+    # in-place on the fp-partitioned cache (no exchange).
     rare = (
         fps.groupBy("fp")
         .count()
         .filter((F.col("count") > 1) & (F.col("count") <= max_df))
         .select("fp")
     )
-    # SHUFFLE_HASH on the RARE side only: the default sort-merge plan SORTS
-    # the full exploded fingerprint relation for the df-cap join — TWICE,
-    # once per self-join alias — and those sort buffers shrink linearly
-    # with core count. Measured at 1M rows (tools/stage_bytes.py, event-log
-    # task metrics): 0 MB spilled at 8 cores vs 9,067 MB at 32 in this one
-    # stage, doubling its summed task time — the `pairs` stage's scaling
-    # asymmetry. A shuffled hash join builds a per-partition map of the
-    # rare side (df-capped survivors' fp keys, the one relation here that
-    # does NOT grow with the corpus-duplication volume) and streams the
-    # exploded side unsorted: pairs stage 27.3 -> 14.3 s at 32 cores/1M.
-    # The SELF-join deliberately stays sort-merge: its inputs are already
-    # rare-filtered (small), and a 3M-row experiment that hash-built the
-    # filtered side measured the stage at 94.7 s on 32 cores vs 60.5 SMJ —
-    # a build side that scales with the corpus thrashes exactly when
-    # per-task memory is smallest.
-    fps = fps.join(rare.hint("shuffle_hash"), "fp")
-    a, b = fps.alias("a"), fps.alias("b")
+    # SHUFFLE_HASH on the RARE side only: a sort-merge plan here SORTS the
+    # full exploded relation, and those sort buffers shrink linearly with
+    # core count — measured 0 MB spilled at 8 cores vs 9,067 MB at 32 in
+    # this one stage before the hint (tools/stage_bytes.py). The build side
+    # (df-capped survivor fp keys) is the one relation that does NOT grow
+    # with corpus-duplication volume; hash-building anything
+    # corpus-proportional measured 94.7 s vs 60.5 s at 3M/32c. Both sides
+    # are fp-partitioned cache reads, so the join moves zero shuffle bytes.
+    surv = fps.join(rare.hint("shuffle_hash"), "fp").persist()
+    surv.count()  # eager: both self-join aliases race this
+    if registry is not None:
+        registry.append(surv)
+    a, b = surv.alias("a"), surv.alias("b")
     votes = (
         a.join(b, "fp")
         .filter(F.col("a.uid") < F.col("b.uid"))
