@@ -282,14 +282,23 @@ def run(
         "components",
         lambda: connected_components(pairs, n_edges_hint=pairs.count()),
     )
+    # outputs read (url, warc_ts) from the NARROW persisted membership frame
+    # (1:1 with clean — a window adds columns, drops no rows), NOT from the
+    # wide clean cache: at multi-million-row scale the text cache is the
+    # first thing LRU evicts during the pairs phase, and the final
+    # report/clusters actions were measured re-running the whole
+    # scan+extract subtree (84 GB of input re-reads at 6M rows) just to
+    # project two 25-byte columns. membership (~100 B/row) survives in
+    # storage, so the output actions stay cache-resident by construction.
+    meta = membership.select("url", "warc_ts")
     clusters = stage(
-        "clusters", lambda: cluster_members(components, clean.select("url", "warc_ts"))
+        "clusters", lambda: cluster_members(components, meta)
     )
 
     # per-doc dedup report: every clean doc with its cluster (or itself) and
     # a keep/duplicate decision — the flagship output shape
     report = (
-        clean.select("url", "warc_ts")
+        meta
         .join(components, "url", "left")
         .select(
             "url",

@@ -73,8 +73,19 @@ def one_run(cpus: int, corpus_dir: str) -> tuple[float, dict[str, float]]:
 def timed_runs(
     corpus_dir: str,
 ) -> tuple[dict[int, list[float]], dict[int, list[dict[str, float]]]]:
+    # The warmup pair exists only to absorb corpus-size-independent one-time
+    # costs (JIT, Python-worker pool spawn, first-touch of the parquet
+    # footers); EUROPA_SCALING_WARMUP_ROWS lets multi-million-row runs warm
+    # up on a smaller cached corpus instead of paying a full-size pair.
+    warmup_dir = corpus_dir
+    warmup_rows = os.environ.get("EUROPA_SCALING_WARMUP_ROWS")
+    if warmup_rows:
+        candidate = os.path.join(
+            os.path.dirname(corpus_dir.rstrip("/")), f"rows{int(warmup_rows)}")
+        if os.path.exists(os.path.join(candidate, "_DONE")):
+            warmup_dir = candidate
     for cpus in LEVELS:  # discarded warmup pair (JIT + python-worker spawn)
-        one_run(cpus, corpus_dir)
+        one_run(cpus, warmup_dir)
     walls: dict[int, list[float]] = {c: [] for c in LEVELS}
     stage_runs: dict[int, list[dict[str, float]]] = {c: [] for c in LEVELS}
     for _ in range(RUNS):

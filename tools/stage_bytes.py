@@ -42,7 +42,11 @@ def run_with_eventlog(cpus: int, corpus_dir: str, log_dir: str) -> float:
     spark = build_session(
         app_name=f"europa-stagebytes-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=32,  # same plan the scaling ladder uses
+        # same plan the scaling ladder uses; EUROPA_SHUFFLE_PARTS overrides
+        # for size-aware runs (per-task sort/hash-build memory scales with
+        # data/partitions but execution memory only with 1/concurrency, so
+        # multi-million-row corpora need more partitions than cores)
+        shuffle_partitions=int(os.environ.get("EUROPA_SHUFFLE_PARTS", "32")),
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{log_dir}",
