@@ -18,9 +18,11 @@ from europa_spark.adapters import URL_SQL, load_canonical, load_embeddings
 from europa_spark.ann import (
     ann_ivf,
     ann_lsh,
+    ann_lsh_sql,
     embedding_dup_pairs_lsh,
     embedding_dup_pairs_sql,
     knn_cosine_blocked,
+    knn_cosine_fold_sql,
     knn_exact_quantized_blocked,
     knn_exact_quantized_sql,
 )
@@ -355,6 +357,9 @@ def _q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact_quantized_blocked(load_embeddings(spark, sf_dir), k=5)
 
 
+KNN_DRIFT_BOUND = 1e-9  # >> the ~1e-15 BLAS-vs-fold ulp drift, << real gaps
+
+
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Float-cosine top-k, gated on (vec_id, neighbor_id, rank) ONLY
     (r3 VERDICT #6): the raw double score can't hash-match across engines
@@ -362,14 +367,54 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity and rank order are stable — distinct neighbors' cosines on
     this corpus differ by far more than the ~1e-15 drift, and exact ties
     (identical vectors) break by neighbor_id identically on both sides.
+    That corpus property is now ASSERTED, not assumed (r4 ADVICE #4): the
+    gate computes top-(k+1) and fails loudly if any adjacent nonzero
+    cosine gap falls under KNN_DRIFT_BOUND — a corpus change that made the
+    rank gate drift-fragile becomes a hard error instead of a flaky hash.
     The in-repo API (knn_cosine_blocked) still returns the score."""
-    return knn_cosine_blocked(load_embeddings(spark, sf_dir), k=5).select(
-        "vec_id", "neighbor_id", "rank"
-    )
+    topk1 = knn_cosine_blocked(load_embeddings(spark, sf_dir), k=6).persist()
+    try:
+        w = Window.partitionBy("vec_id").orderBy("rank")
+        min_gap = (
+            topk1.withColumn("next_cos", F.lead("cosine").over(w))
+            .filter(F.col("next_cos").isNotNull())
+            .select((F.col("cosine") - F.col("next_cos")).alias("gap"))
+            .filter(F.col("gap") > 0)
+            .agg(F.min("gap"))
+            .first()[0]
+        )
+        if min_gap is not None and min_gap < KNN_DRIFT_BOUND:
+            raise ValueError(
+                f"knn_cosine rank gate is drift-fragile on this corpus: "
+                f"min adjacent nonzero cosine gap {min_gap} < "
+                f"{KNN_DRIFT_BOUND} — near-tie neighbors could reorder "
+                "across engines; re-gate on the quantized variant"
+            )
+        return (
+            topk1.filter(F.col("rank") <= 5)
+            .select("vec_id", "neighbor_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        topk1.unpersist()
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_lsh(load_embeddings(spark, sf_dir), k=5)
+    """Hyperplane-LSH approximate top-k — FULLY value-oracled since r5
+    (r4 VERDICT next-round #2, the last seeded-RNG rows-only gate besides
+    IVF): the Spark UDF accumulates its sign dots in explicit dim-order
+    left folds and ann.ann_lsh_sql embeds the identical seeded hyperplane
+    matrix as %.17e literals, replaying sign bits -> bucket ids -> DISTINCT
+    bucket join -> fold-exact cosine re-rank bit-for-bit in DuckDB. Gated
+    on (vec_id, neighbor_id, rank); cosine doubles are bit-identical by
+    construction but stay out of the hash for symmetry with knn_cosine.
+    The oracle's hyperplane literals are dim-specific, so the gate asserts
+    the table's dimensionality."""
+    emb = load_embeddings(spark, sf_dir)
+    dim = emb.select(F.max(F.size("embedding")).alias("d")).first()["d"]
+    if dim != 64:
+        raise ValueError(f"ann_lsh oracle embeds dim=64 hyperplanes, got {dim}")
+    return ann_lsh(emb, k=5).select("vec_id", "neighbor_id", "rank")
 
 
 EMB_DUP_THRESHOLD = 0.4  # sandbox embeddings have no cos>=0.9 pairs (max
@@ -411,7 +456,20 @@ def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_ivf(load_embeddings(spark, sf_dir), k=5)
+    """IVF top-k gated at the DEEP-PROBE config (r4 VERDICT next-round #3:
+    full k-means replay in SQL is impractical — the centroids depend on the
+    data, and oracle_sql() is static): probing every cell makes the
+    candidate set all-pairs, so the REAL IVF machinery (seeded k-means
+    training, UDF cell assignment, cell equi-join, dedup, fold-cosine
+    re-rank) must reproduce exact kNN exactly — any bug in assignment/join/
+    dedup/ranking breaks the hash. Oracle = knn_cosine_fold_sql, whose
+    ordered-fold arithmetic is bit-identical to the Catalyst F.aggregate
+    cosine, so ranks agree even at float near-ties. The APPROXIMATE config
+    (n_probe=8/16) stays pytest-gated (recall >= 0.8 + deep-probe >= 0.9,
+    tests/test_quality_ann.py)."""
+    return ann_ivf(
+        load_embeddings(spark, sf_dir), k=5, n_cells=16, n_probe=16
+    ).select("vec_id", "neighbor_id", "rank")
 
 
 # --- multimodal: the testdata tables carry no media bytes, so the binary
@@ -603,6 +661,13 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from europa_spark.streaming import process_batch_neardup, read_neardup_pairs
 
     docs = load_canonical(spark, sf_dir)
+    # GATE-ONLY state location: a throwaway driver-local tempdir, torn down
+    # below — correct here because this gate runs single-process and never
+    # resumes. The PRODUCTION layout is a durable shared checkpoint root
+    # (HDFS/S3) holding these same parquet state partitions next to the
+    # Structured Streaming checkpointLocation — see streaming.py's
+    # start_incremental_neardup and RUNBOOK.md's resume story; do NOT
+    # copy this tempfile pattern into a cluster job (r4 VERDICT #4).
     state_dir = tempfile.mkdtemp(prefix="europa_inc_gate_")
     try:
         for bid in range(3):
@@ -1520,6 +1585,11 @@ ranked AS (
 SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """,
+        # full LSH replay: seeded hyperplanes as %.17e literals + ordered
+        # folds (see _q_ann_lsh); leaves NO rows-only gates in the board
+        "ann_lsh_topk": ann_lsh_sql(k=5, dim=64),
+        # deep-probe IVF == exact kNN; fold-exact cosine twin (see _q_ann_ivf)
+        "ann_ivf_topk": knn_cosine_fold_sql(k=5, dim=64),
         "embedding_dup_pairs": embedding_dup_pairs_sql(threshold=EMB_DUP_THRESHOLD),
         # brute-force integer pair predicate + recursive-CTE closure — the
         # dedup_clusters technique over the embeddings table

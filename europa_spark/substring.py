@@ -141,7 +141,29 @@ def substring_pairs(
     pipeline passes the dual-signature table so the text crosses to Python
     once for minhash AND winnowing (minhash.with_dual_signatures); it must
     already be materialized.
+
+    ``registry=None``: intermediates unpersist on return (recompute per
+    consumer); pass a registry to cache across consumers (see
+    minhash.candidate_pairs).
     """
+    own = registry is None
+    if own:
+        registry = []
+    try:
+        return _substring_pairs(reps, cfg, max_df, registry, fp_arrays)
+    finally:
+        if own:
+            for f in registry:
+                f.unpersist()
+
+
+def _substring_pairs(
+    reps: DataFrame,
+    cfg: DedupConfig,
+    max_df: int,
+    registry: list,
+    fp_arrays: DataFrame | None,
+) -> DataFrame:
     if fp_arrays is None:
         # the winnow kernel is the expensive part and this DAG consumes the
         # fingerprint relation three times (df-count branch + both self-join

@@ -97,3 +97,34 @@ def test_winnow_guarantee(doc, offset):
     d2 = "zzz " + shared + " qqq"
     f1, f2 = _batch_winnow([d1, d2], k, w)
     assert set(f1.tolist()) & set(f2.tolist())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(_text, min_size=1, max_size=10),
+    st.lists(
+        st.tuples(st.integers(0, 99), st.integers(0, 99)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(2, 6),
+)
+def test_batch_pair_jaccard_equals_per_pair(texts, pair_idx, k):
+    """r4 VERDICT #2: the grouped-searchsorted pair-Jaccard kernel must be
+    bit-identical to the per-pair intersect1d reference — including repeated
+    anchors (the star-edge shape), duplicate pairs, and self-pairs."""
+    from europa_spark.minhash import _batch_pair_jaccard
+
+    n = len(texts)
+    ta = [texts[i % n] for i, _ in pair_idx]
+    tb = [texts[j % n] for _, j in pair_idx]
+    got = _batch_pair_jaccard(ta, tb, k)
+    assert got.shape == (len(pair_idx),)
+    cache: dict = {}
+    arrs = {t: _shingle_hashes_np(t, k, cache) for t in set(ta) | set(tb)}
+    for x, a_t, b_t in zip(got, ta, tb):
+        a, b = arrs[a_t], arrs[b_t]
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        union = a.size + b.size - inter
+        want = inter / union if union else float("nan")
+        assert (np.isnan(x) and np.isnan(want)) or x == want, (a_t, b_t)

@@ -145,3 +145,28 @@ def test_band_join_is_narrow(spark, sigs):
     for m in re.finditer(r"Exchange ([^\n]*)", plan):
         line = m.group(1)
         assert "shingles" not in line and "minhash" not in line, line
+
+
+def test_verify_strategy_and_margin_equivalence(spark, reps):
+    """r4 ADVICE #2: the three verify configurations must confirm the
+    IDENTICAL (url_a, url_b, score) set on the planted corpus —
+    'rehash' (default), 'arrays' (the pre-r4 default path), and the
+    est_prefilter margin (which must drop nothing at the canonical
+    config: P(false drop) ~ 1e-5 per true pair)."""
+    base = {
+        (r["url_a"], r["url_b"], r["score"])
+        for r in minhash_pairs(reps).collect()
+    }
+    assert base, "planted corpus must yield pairs"
+    arrays_cfg = DedupConfig(verify_strategy="arrays")
+    got_arrays = {
+        (r["url_a"], r["url_b"], r["score"])
+        for r in minhash_pairs(reps, arrays_cfg).collect()
+    }
+    assert got_arrays == base
+    margin_cfg = DedupConfig(verify_est_margin=0.15)
+    got_margin = {
+        (r["url_a"], r["url_b"], r["score"])
+        for r in minhash_pairs(reps, margin_cfg).collect()
+    }
+    assert got_margin == base
