@@ -580,6 +580,27 @@ def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_pairs(sigs).select("url_a", "url_b", "score")
 
 
+def _q_media_blockmean_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean-961 radius pairs over the FNV sketch payload — the
+    reference's third similarity mode as a gated pair query (r4 VERDICT
+    next-round #8; BlockMeanHash.cs:46-99 + QdrantRepository.cs:184-206).
+    VALUE-ORACLED: _blockmean_pairs_sql replays sketch -> decode -> integer
+    block-sum matrix product -> median bits -> Hamming exactly (all-integer
+    chain, no float-faithfulness needed). Planted near-dups measure
+    Hamming <= 9 at sf0.01 vs a 64+ background floor, so the d=16 gate
+    certifies a real non-empty pair set."""
+    from europa_spark.multimodal import (
+        media_blockmean_pairs,
+        media_signatures,
+        text_sketch_media,
+    )
+
+    sigs = media_signatures(
+        text_sketch_media(_assert_ascii(_clean(spark, sf_dir)), token_hash="fnv1a")
+    )
+    return media_blockmean_pairs(sigs).select("url_a", "url_b", "score")
+
+
 CURATION_MIN_TOKENS = 30
 CURATION_LANG = "en"
 
@@ -717,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": _q_media_phash,
         "media_signatures": _q_media_signatures,
         "media_phash_pairs": _q_media_phash_pairs,
+        "media_blockmean_pairs": _q_media_blockmean_pairs,
         "video_dup_pairs": _q_video_dup_pairs,
         "corpus_curation": _q_corpus_curation,
         "incremental_dedup": _q_incremental_dedup,
@@ -1267,18 +1289,17 @@ WHERE bit_count(xor(a.ph, b.ph)) <= 10
 """
 
 
-def _sketch_phash_prefix(chunks_sql: str) -> str:
-    """Shared CTE chain for the FNV-sketch -> FAKE/FAKV decode -> area
-    resize -> ordered-fold-DCT pHash replay. The caller supplies CTEs
-    ending in ``fchunks(url, fi, ctoks)`` (token chunks per frame; see
-    _video_sql for the exactness argument of every downstream stage) and
-    appends its own matching stage over ``fr(url, fi, ph UBIGINT)``."""
-    from europa_spark.multimodal import _dct_matrix
-
+def _sketch_cells_prefix(chunks_sql: str) -> str:
+    """CTE chain for the FNV-sketch front alone: token FNV -> k-gram
+    polynomial -> distinct-shingle cell counts -> ``cmap(url, fi, mp)``, the
+    sparse 48x64 grid as a cell->value map (pixel (r, c) = mp[r*64 + c],
+    missing = 0). The caller supplies CTEs ending in ``fchunks(url, fi,
+    ctoks)`` and appends its own decode/hash stages — the pHash chain
+    (_sketch_phash_prefix) and the block-mean chain (_blockmean_pairs_sql)
+    share this front."""
     m64 = "18446744073709551616::HUGEINT"
     base = 0x9E3779B97F4A7C15  # minhash._SHINGLE_BASE
     b0, b1 = base & 0xFFFFFFFF, base >> 32
-    cm = ", ".join(f"{float(v):.17e}" for v in _dct_matrix(32)[:8].reshape(256))
     fnv = f"""list_reduce(
       list_prepend(14695981039346656037::HUGEINT,
         list_transform(range(1, length(tk)+1),
@@ -1292,15 +1313,8 @@ def _sketch_phash_prefix(chunks_sql: str) -> str:
                      + (acc % 4294967296::HUGEINT) * {b1}::HUGEINT)
                      % 4294967296::HUGEINT) * 4294967296::HUGEINT
                   + t ) % {m64})"""
-    row_edges = [(i * 48) // 32 for i in range(33)]  # 48 -> 32 area edges
-    rowmap = ", ".join(
-        f"({rr},{r},{row_edges[rr + 1] - row_edges[rr]})"
-        for rr in range(32)
-        for r in range(row_edges[rr], row_edges[rr + 1])
-    )
     return f"""
 WITH d AS ({DOCS_SQL}),
-cmat AS (SELECT [{cm}] AS cm),
 tokd AS (
   SELECT url, string_split(text, ' ') AS toks,
          greatest(30, CAST(ceil(len(string_split(text, ' ')) / 5.0)
@@ -1334,7 +1348,27 @@ cellcnt AS (
   FROM shd GROUP BY url, fi, cell
 ),
 cmap AS (SELECT url, fi, map(list(cell), list(v)) AS mp
-         FROM cellcnt GROUP BY url, fi),
+         FROM cellcnt GROUP BY url, fi)"""
+
+
+def _sketch_phash_prefix(chunks_sql: str) -> str:
+    """Shared CTE chain for the FNV-sketch -> FAKE/FAKV decode -> area
+    resize -> ordered-fold-DCT pHash replay. The caller supplies CTEs
+    ending in ``fchunks(url, fi, ctoks)`` (token chunks per frame; see
+    _video_sql for the exactness argument of every downstream stage) and
+    appends its own matching stage over ``fr(url, fi, ph UBIGINT)``."""
+    from europa_spark.multimodal import _dct_matrix
+
+    m64 = "18446744073709551616::HUGEINT"
+    cm = ", ".join(f"{float(v):.17e}" for v in _dct_matrix(32)[:8].reshape(256))
+    row_edges = [(i * 48) // 32 for i in range(33)]  # 48 -> 32 area edges
+    rowmap = ", ".join(
+        f"({rr},{r},{row_edges[rr + 1] - row_edges[rr]})"
+        for rr in range(32)
+        for r in range(row_edges[rr], row_edges[rr + 1])
+    )
+    return _sketch_cells_prefix(chunks_sql) + f""",
+cmat AS (SELECT [{cm}] AS cm),
 g32 AS (
   SELECT url, fi, list(gv ORDER BY rr * 32 + cc) AS g
   FROM (
@@ -1378,6 +1412,75 @@ psig AS (
   GROUP BY d8.url, d8.fi
 ),
 fr AS (SELECT url, fi, CAST(s % {m64} AS UBIGINT) AS ph FROM psig)"""
+
+
+def _blockmean_pairs_sql(hamming_d: int = 16) -> str:
+    """DuckDB twin of media_blockmean_pairs over the FNV text_sketch_media
+    payload — the block-mean radius search replayed end-to-end: FNV sketch
+    (shared front, _sketch_cells_prefix) -> 48x64 integer grid -> 256x256
+    nearest upscale -> 31x31 overlapping 16x16 block sums as an EXACT
+    integer matrix product (the _blockmean_sql factorization, here with
+    (48, 64) source overlap counts: bsum[bi,bj] = sum v[r,c] * rowov[bi,r]
+    * colov[bj,c]) -> discrete median -> 961 bits -> Hamming pairs.
+
+    Hamming is computed over 16 HUGEINT->UBIGINT words packed by bit index
+    i//64 — a DIFFERENT packing than Spark's 4-byte hex words, which is
+    fine because Hamming distance is packing-invariant (same bit multiset,
+    bit_count(xor) sums over any partition of the bits). Brute-force pairs
+    equal the Spark band join by pigeonhole (17 byte-aligned bands cover
+    d <= 16) with no hot bucket at this scale. score = (961 - h) / 961.0:
+    same int->double division both sides."""
+
+    def overlap(n_src: int) -> list[tuple[int, int, int]]:
+        out = []
+        for b in range(31):
+            cnt: dict[int, int] = {}
+            for g in range(b * 8, b * 8 + 16):
+                s = (g * n_src) // 256
+                cnt[s] = cnt.get(s, 0) + 1
+            out.extend((b, s, c) for s, c in cnt.items())
+        return out
+
+    rowov = ", ".join(f"({b},{s},{c})" for b, s, c in overlap(48))
+    colov = ", ".join(f"({b},{s},{c})" for b, s, c in overlap(64))
+    chunks = """
+fchunks AS (SELECT url, 0 AS fi, toks AS ctoks FROM tokd)"""
+    return _sketch_cells_prefix(chunks) + f""",
+grid AS (
+  SELECT cmap.url, rr.r, cc.c,
+         coalesce(mp[rr.r * 64 + cc.c][1], 0) AS v
+  FROM cmap, range(0, 48) rr(r), range(0, 64) cc(c)
+),
+rowov AS (SELECT * FROM (VALUES {rowov}) x(bi, r, w)),
+colov AS (SELECT * FROM (VALUES {colov}) x(bj, c, w)),
+m1 AS (
+  SELECT url, bi, c, sum(v * w) AS s
+  FROM grid JOIN rowov USING (r) GROUP BY url, bi, c
+),
+bs AS (
+  SELECT url, bi, bj, sum(s * w) AS bsum
+  FROM m1 JOIN colov USING (c) GROUP BY url, bi, bj
+),
+med AS (SELECT url, quantile_disc(bsum, 0.5) AS md FROM bs GROUP BY url),
+bits AS (
+  SELECT bs.url, (bi * 31 + bj) AS i, (bsum > md) AS bit
+  FROM bs JOIN med ON bs.url = med.url
+),
+words AS (
+  SELECT url, i // 64 AS wi,
+         sum(CASE WHEN bit THEN (1::HUGEINT << CAST(i % 64 AS INT))
+             ELSE 0::HUGEINT END) AS wv
+  FROM bits GROUP BY url, wi
+),
+ham AS (
+  SELECT a.url AS url_a, b.url AS url_b,
+         sum(bit_count(xor(CAST(a.wv AS UBIGINT), CAST(b.wv AS UBIGINT)))) AS h
+  FROM words a JOIN words b ON a.wi = b.wi AND a.url < b.url
+  GROUP BY a.url, b.url
+)
+SELECT url_a, url_b, (961 - h) / 961.0 AS score
+FROM ham WHERE h <= {hamming_d}
+"""
 
 
 def _media_signatures_sql() -> str:
@@ -1604,6 +1707,8 @@ FROM ranked WHERE rank <= 5
         "video_dup_pairs": _video_sql(),
         # single-frame sketch pHash radius pairs, same chain
         "media_phash_pairs": _media_phash_pairs_sql(),
+        # block-mean-961 radius pairs: exact integer replay (third mode)
+        "media_blockmean_pairs": _blockmean_pairs_sql(),
         "media_metadata": _MEDIA_CTE
         + r"""
 SELECT url,

@@ -488,3 +488,70 @@ def test_stream_replay_idempotent(spark, tmp_path):
         (r["url"], r["duplicate_of"]) for r in read_dup_log(spark, state).collect()
     }
     assert final == {("u2", "u1"), ("u9", "u1")}
+
+
+def test_blockmean_radius_search_finds_planted_pairs(spark, corpus):
+    """The gated media_blockmean_pairs path end-to-end (the reference's
+    THIRD similarity mode, BlockMeanHash.cs:46-99): sketch rendering ->
+    961-bit block-mean hash -> byte-band radius search must recover the
+    planted >=0.8-Jaccard near-dups and emit nothing cross-cluster."""
+    from europa_spark.extract import split_quarantine, with_extracted
+    from europa_spark.multimodal import media_blockmean_pairs, text_sketch_media
+
+    docs = spark.createDataFrame(corpus.documents)
+    clean, _ = split_quarantine(with_extracted(docs))
+    sketch = text_sketch_media(clean.limit(400))
+    sigs = media_signatures(sketch)
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in media_blockmean_pairs(sigs).collect()
+    }
+    exp = corpus.expected_pairs
+    planted = {
+        tuple(sorted((a, b)))
+        for a, b, j in zip(exp["url_a"], exp["url_b"], exp["true_jaccard"])
+        if j >= 0.8
+    }
+    in_scope = {r["url"] for r in sketch.select("url").collect()}
+    planted = {p for p in planted if p[0] in in_scope and p[1] in in_scope}
+    assert planted, "fixture must plant in-scope near-dup pairs"
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.95, (recall, planted - got)
+    cl = dict(
+        zip(corpus.expected_clusters["url"], corpus.expected_clusters["cluster_id"])
+    )
+    assert all(
+        a in cl and b in cl and cl[a] == cl[b] for a, b in got
+    ), {p for p in got if cl.get(p[0]) != cl.get(p[1])}
+
+
+def test_blockmean_band_join_equals_brute_force(spark, corpus):
+    """Pigeonhole completeness of the 17-byte-band join: the banded pair
+    set must equal brute-force Hamming <= d over all signature pairs."""
+    import numpy as np
+
+    from europa_spark.extract import split_quarantine, with_extracted
+    from europa_spark.multimodal import media_blockmean_pairs, text_sketch_media
+
+    docs = spark.createDataFrame(corpus.documents)
+    clean, _ = split_quarantine(with_extracted(docs))
+    sigs = media_signatures(text_sketch_media(clean.limit(300))).cache()
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in media_blockmean_pairs(sigs).collect()
+    }
+    rows = sigs.select("url", "blockmean").collect()
+    urls = [r["url"] for r in rows]
+    bits = np.unpackbits(
+        np.array(
+            [np.frombuffer(bytes.fromhex(r["blockmean"]), dtype=np.uint8) for r in rows]
+        ),
+        axis=1,
+        bitorder="little",
+    )
+    want = set()
+    for i in range(len(urls)):
+        d = (bits[i + 1:] != bits[i]).sum(axis=1)
+        for j in np.nonzero(d <= 16)[0]:
+            want.add(tuple(sorted((urls[i], urls[i + 1 + j]))))
+    assert got == want
