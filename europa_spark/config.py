@@ -87,6 +87,30 @@ class DedupConfig:
 
     # skew handling (north rule: explicit salting of hot LSH buckets)
     bucket_cap: int = 2000               # max rows per (band_idx, band_hash) bucket
+    # size of the salted sub-buckets that hot-bucket members all-pair
+    # within. DECOUPLED from bucket_cap (r5): with sub-buckets of cap=2000
+    # members, a hot bucket's salted work was n*cap/2 pairs per band — a
+    # 10k-member near-dup clique (ordinary webtext boilerplate) emitted
+    # ~10M candidates per band, 44M distinct over 16 bands, ~110 GB through
+    # the verify join. At 64 the same bucket emits ~32*n per band (~5M
+    # distinct total): still superlinear recall insurance for mixed hot
+    # buckets, bounded enough to survive a 100x corpus. Recall note: the
+    # only pairs this trades are members similar to EACH OTHER but not to
+    # the bucket anchor whose every shared band is hot and salted apart —
+    # the same residual class as before, at a different constant.
+    salt_sub_cap: int = 64
+    # buckets above this are MEGA buckets: star edges only, no salted
+    # sub-bucket pairs. Rationale: salted work per hot bucket is
+    # n * bucket_cap / 2 per band — at web scale a boilerplate family with
+    # 10^5..10^7 near-identical members would emit 10^8+ candidates per band
+    # (measured blowup: a 10%-near-dup-clique 1M corpus produced 1.6e9
+    # candidates under salt-everything). In a true near-dup CLIQUE every
+    # member is similar to the bucket min, so star edges alone verify and
+    # the cluster forms with FULL membership recall; what a mega bucket
+    # gives up is direct member-member edges for members similar to each
+    # other but NOT to the anchor — a mixed mega-bucket shape that webtext
+    # boilerplate does not produce (and the d+1 other bands still catch).
+    star_only_cap: int = 20_000
     top_k_neighbors: int | None = None   # QdrantRepository.cs:192 limit=100; None = unlimited (recall-safe)
 
     # join strategy: hint the small frames (winner urls, candidate url sets)
@@ -117,6 +141,10 @@ class DedupConfig:
             raise ValueError("min_bytes > max_bytes")
         if self.bucket_cap < 2:
             raise ValueError("bucket_cap must be >= 2")
+        if self.star_only_cap < self.bucket_cap:
+            raise ValueError("star_only_cap must be >= bucket_cap")
+        if self.salt_sub_cap < 2:
+            raise ValueError("salt_sub_cap must be >= 2")
         if self.verify_est_margin is not None and not (
             0.0 <= self.verify_est_margin < self.jaccard_threshold
         ):

@@ -14,10 +14,13 @@ Reference semantics being preserved:
 Scale design (north rule: explicit skew handling):
   * signatures are computed once per DISTINCT content (caller passes the
     representatives set, europa_spark.exact.representatives);
-  * band buckets above ``cfg.bucket_cap`` are routed to a linear star-edge
-    path (member -> bucket min) instead of the quadratic all-pairs self-join
-    — a 10k-member boilerplate bucket yields 10k candidates, not 50M
-    (FIXTURES.md §1 block E is the adversarial fixture);
+  * band buckets above ``cfg.bucket_cap`` are routed to linear star edges
+    (member -> bucket min) plus all-pairs within ``cfg.salt_sub_cap``-sized
+    salted sub-buckets instead of the quadratic all-pairs self-join — a
+    10k-member near-dup bucket yields ~10k + 32*10k candidates per band,
+    not 50M; buckets above ``cfg.star_only_cap`` (mega boilerplate cliques)
+    keep star edges only (FIXTURES.md §1 block E is the adversarial
+    fixture; tools/skew_bench.py is the bench-scale one);
   * sub-cap buckets go through a plain equi-join; AQE skew-join splitting
     handles residual per-key hotness;
   * all shuffled relations are narrow (ids + 64-bit hashes); the wide
@@ -386,10 +389,11 @@ def candidate_pairs(
     """Distinct candidate (url_a < url_b) pairs from band collisions.
 
     Buckets <= bucket_cap: all-pairs equi self-join (J2). Oversized buckets
-    (explicit skew cap, north rule) are SALTED into ceil(n/cap) sub-buckets
-    of ~cap members with all-pairs inside each salt, PLUS linear star edges
-    to the bucket minimum. Work per hot bucket is O(n * cap) instead of
-    O(n^2). Recall: mutually-similar members that are NOT similar to the
+    (explicit skew cap, north rule) are SALTED into ceil(n/salt_sub_cap)
+    sub-buckets of ~salt_sub_cap members with all-pairs inside each salt,
+    PLUS linear star edges to the bucket minimum — work per hot bucket is
+    O(n * salt_sub_cap) instead of O(n^2). Buckets above star_only_cap emit
+    star edges ONLY (see config.star_only_cap). Recall: mutually-similar members that are NOT similar to the
     bucket min keep their direct edge whenever they share a salt (and any
     other band); the star edges keep whole-bucket connectivity through the
     representative. Residual loss — a similar pair whose EVERY shared band
@@ -456,16 +460,22 @@ def _candidate_pairs(
         F.col("a.url") < F.col("b.url")
     ).select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
 
-    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.bucket_cap)).cast("int")
+    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.salt_sub_cap)).cast("int")
     hot = sized.filter(F.col("bucket_n") > cfg.bucket_cap).select(
-        "band_idx", "band_hash", "url", "bucket_min",
+        "band_idx", "band_hash", "url", "bucket_min", "bucket_n",
         F.pmod(F.xxhash64("url", "band_idx", "band_hash"), n_salts).alias("salt"),
     )
+    # star edges for EVERY over-cap bucket (connectivity through the anchor)
     hot_star = hot.filter(F.col("url") != F.col("bucket_min")).select(
         F.col("bucket_min").alias("url_a"), F.col("url").alias("url_b")
     )
-    ha = hot.select("band_idx", "band_hash", "salt", "url").alias("ha")
-    hb = hot.select("band_idx", "band_hash", "salt", "url").alias("hb")
+    # salted sub-bucket all-pairs only BELOW star_only_cap: above it (mega
+    # buckets — web-scale boilerplate cliques) the salted work n*cap/2 per
+    # band dwarfs any recall it buys, and star edges alone already give full
+    # CLUSTER recall for a true near-dup clique (see config.star_only_cap)
+    salted = hot.filter(F.col("bucket_n") <= cfg.star_only_cap)
+    ha = salted.select("band_idx", "band_hash", "salt", "url").alias("ha")
+    hb = salted.select("band_idx", "band_hash", "salt", "url").alias("hb")
     hot_salt_pairs = (
         ha.join(hb, ["band_idx", "band_hash", "salt"])
         .filter(F.col("ha.url") < F.col("hb.url"))
@@ -733,7 +743,7 @@ def incremental_minhash_pairs(
     # the direct edge to a non-anchor near-dup). Same salt formula as
     # candidate_pairs, so a probe meets exactly the members it would share a
     # salt with in a batch run over the accumulated corpus; per-probe
-    # fan-out stays bounded at bands * (2*cap + 1). NOTE the residual batch/
+    # fan-out stays bounded at bands * (cap + salt_sub_cap + 1). NOTE the residual batch/
     # incremental delta on hot buckets: n_salts derives from the bucket size
     # AT PROBE TIME, which grows across batches, so sub-bucket membership
     # (not connectivity, and not the verified-pair threshold) can differ
@@ -745,7 +755,7 @@ def incremental_minhash_pairs(
         .filter(F.col("bucket_n") >= 2)
     )
     sized = index.join(stats, ["band_idx", "band_hash"])
-    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.bucket_cap)).cast("int")
+    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.salt_sub_cap)).cast("int")
     capped_index = (
         sized.filter(F.col("bucket_n") <= cfg.bucket_cap)
         .select("band_idx", "band_hash", "url")
@@ -762,13 +772,19 @@ def incremental_minhash_pairs(
         .filter(F.col("a.url") != F.col("b.url"))
         .select(F.col("a.url").alias("pa"), F.col("b.url").alias("pb"))
     )
-    hot_index = sized.filter(F.col("bucket_n") > cfg.bucket_cap).select(
+    hot_index = sized.filter(
+        (F.col("bucket_n") > cfg.bucket_cap)
+        & (F.col("bucket_n") <= cfg.star_only_cap)
+    ).select(
         "band_idx", "band_hash", "url",
         F.pmod(F.xxhash64("url", "band_idx", "band_hash"), n_salts).alias("salt"),
     )
     hot_probes = (
         probes.join(
-            stats.filter(F.col("bucket_n") > cfg.bucket_cap),
+            stats.filter(
+                (F.col("bucket_n") > cfg.bucket_cap)
+                & (F.col("bucket_n") <= cfg.star_only_cap)
+            ),
             ["band_idx", "band_hash"],
         )
         .select(

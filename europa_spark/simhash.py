@@ -199,7 +199,7 @@ def incremental_simhash_pairs(
     sub-bucket (r4 ADVICE #1: star-only routing silently lost the direct
     edge to a non-anchor near-dup; same salt formula as the batch
     hot_salt_pairs), while sub-cap buckets keep the full equi-join.
-    Per-probe fan-out stays bounded at bands * (2*cap + 1). n_salts derives
+    Per-probe fan-out stays bounded at bands * (cap + salt_sub_cap + 1). n_salts derives
     from the bucket size at probe time (grows across batches), so salted
     sub-bucket membership can differ from a one-shot batch run — pinned in
     tests/test_incremental.py."""
@@ -224,16 +224,18 @@ def incremental_simhash_pairs(
     hot_min = sized.filter(
         (F.col("bucket_n") > cfg.bucket_cap) & (F.col("url") == F.col("bucket_min"))
     ).select("band_idx", "band_key", "url", "simhash")
-    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.bucket_cap)).cast("int")
+    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.salt_sub_cap)).cast("int")
     salt_col = F.pmod(
         F.xxhash64("url", "band_idx", "band_key"), n_salts
     ).alias("salt")
-    hot_index = sized.filter(F.col("bucket_n") > cfg.bucket_cap).select(
+    in_salt_range = (F.col("bucket_n") > cfg.bucket_cap) & (
+        F.col("bucket_n") <= cfg.star_only_cap
+    )
+    hot_index = sized.filter(in_salt_range).select(
         "band_idx", "band_key", "url", "simhash", salt_col
     )
     hot_probes = probes.join(
-        stats.filter(F.col("bucket_n") > cfg.bucket_cap),
-        ["band_idx", "band_key"],
+        stats.filter(in_salt_range), ["band_idx", "band_key"]
     ).select("band_idx", "band_key", "url", "simhash", salt_col)
     plain = (
         probes.alias("a")
@@ -360,10 +362,12 @@ def _simhash_pairs(
     )
     # hot buckets: salted sub-buckets of ~cap members (all-pairs within a
     # salt) + star edges to the bucket min — same recall/connectivity trade
-    # as minhash.candidate_pairs (see that docstring)
-    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.bucket_cap)).cast("int")
+    # as minhash.candidate_pairs (see that docstring). Mega buckets (above
+    # cfg.star_only_cap) keep the star edges but skip the salted pairs —
+    # the n*cap/2-per-band work bound (see config.star_only_cap).
+    n_salts = F.ceil(F.col("bucket_n") / F.lit(cfg.salt_sub_cap)).cast("int")
     hot = sized.filter(F.col("bucket_n") > cfg.bucket_cap).select(
-        "band_idx", "band_key", "url", "simhash", "bucket_min",
+        "band_idx", "band_key", "url", "simhash", "bucket_min", "bucket_n",
         F.pmod(F.xxhash64("url", "band_idx", "band_key"), n_salts).alias("salt"),
     )
     hot_min = hot.select("band_idx", "band_key", "url", "simhash").alias("hm")
@@ -383,8 +387,13 @@ def _simhash_pairs(
             F.col("h.simhash").alias("sig_b"),
         )
     )
-    ha = hot.select("band_idx", "band_key", "salt", "url", "simhash").alias("sa")
-    hb = hot.select("band_idx", "band_key", "salt", "url", "simhash").alias("sb")
+    salted_side = hot.filter(F.col("bucket_n") <= cfg.star_only_cap)
+    ha = salted_side.select(
+        "band_idx", "band_key", "salt", "url", "simhash"
+    ).alias("sa")
+    hb = salted_side.select(
+        "band_idx", "band_key", "salt", "url", "simhash"
+    ).alias("sb")
     cand_salt = (
         ha.join(hb, ["band_idx", "band_key", "salt"])
         .filter(F.col("sa.url") < F.col("sb.url"))

@@ -48,7 +48,7 @@ def test_incremental_hot_bucket_salted_probe(spark):
     from europa_spark.config import DedupConfig
     from europa_spark.minhash import band_table
 
-    cfg = DedupConfig(bucket_cap=2)
+    cfg = DedupConfig(bucket_cap=2, salt_sub_cap=2)
     text = " ".join(f"t{i}" for i in range(100))
     old = spark.createDataFrame(
         [(f"u{i:02d}", text) for i in range(8)], "url string, extracted string"
@@ -93,7 +93,7 @@ def test_incremental_simhash_hot_bucket_salted_probe(spark):
         with_simhash,
     )
 
-    cfg = DedupConfig(bucket_cap=2)
+    cfg = DedupConfig(bucket_cap=2, salt_sub_cap=2)
     text = " ".join(f"t{i}" for i in range(100))
     old = spark.createDataFrame(
         [(f"u{i:02d}", text) for i in range(8)], "url string, extracted string"
@@ -125,3 +125,18 @@ def test_incremental_simhash_hot_bucket_salted_probe(spark):
     expected = {(min(m, "u08"), max(m, "u08")) for m in partners}
     expected.add(("u00", "u08"))
     assert got == expected
+
+
+def test_incremental_mega_bucket_star_only(spark):
+    """Probes landing in MEGA index buckets (> star_only_cap) pair with the
+    star anchor only — bounded per-probe fan-out on web-scale boilerplate."""
+    from europa_spark.config import DedupConfig
+
+    cfg = DedupConfig(bucket_cap=2, star_only_cap=4)
+    text = " ".join(f"t{i}" for i in range(100))
+    old = spark.createDataFrame(
+        [(f"u{i:02d}", text) for i in range(8)], "url string, extracted string"
+    )
+    new = spark.createDataFrame([("u08", text)], "url string, extracted string")
+    _, delta = incremental_minhash_pairs(with_signatures(old, cfg), new, cfg)
+    assert {(r["url_a"], r["url_b"]) for r in delta.collect()} == {("u00", "u08")}

@@ -79,7 +79,7 @@ def test_recall_and_decoy_rejection(spark, reps, sigs, corpus):
 def test_hot_bucket_star_and_salted_edges(spark):
     """Oversized band buckets route to star edges + salted within-sub-bucket
     all-pairs (skew cap): work is O(n * cap), never O(n^2)."""
-    cfg = DedupConfig(bucket_cap=3)
+    cfg = DedupConfig(bucket_cap=3, salt_sub_cap=3)
     text = " ".join(f"t{i}" for i in range(100))
     n = 10
     df = spark.createDataFrame(
@@ -105,7 +105,7 @@ def test_hot_bucket_mutual_pairs_survive_salting(spark):
     """Adversarial (ADVICE r01): hot-bucket members that are near-dups of
     EACH OTHER but not of the bucket min must keep a direct candidate edge
     whenever they share a salt — the star-only r01 design dropped them all."""
-    cfg = DedupConfig(bucket_cap=2)
+    cfg = DedupConfig(bucket_cap=2, salt_sub_cap=2)
     members = ["a0"] + [f"m{i}" for i in range(1, 8)]
     bands = spark.createDataFrame(
         [(u, 0, 42) for u in members], "url string, band_idx int, band_hash bigint"
@@ -170,3 +170,19 @@ def test_verify_strategy_and_margin_equivalence(spark, reps):
         for r in minhash_pairs(reps, margin_cfg).collect()
     }
     assert got_margin == base
+
+
+def test_mega_bucket_star_only(spark):
+    """Buckets above cfg.star_only_cap (web-scale boilerplate cliques) keep
+    star edges but skip salted sub-bucket pairs — the salted work would be
+    n*cap/2 per band while star edges alone give full cluster recall for a
+    true near-dup clique (config.star_only_cap rationale)."""
+    cfg = DedupConfig(bucket_cap=2, star_only_cap=4)
+    bands = spark.createDataFrame(
+        [(f"m{i}", 0, 42) for i in range(8)],
+        "url string, band_idx int, band_hash bigint",
+    )
+    rows = {
+        (r["url_a"], r["url_b"]) for r in candidate_pairs(bands, cfg).collect()
+    }
+    assert rows == {("m0", f"m{i}") for i in range(1, 8)}
