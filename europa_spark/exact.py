@@ -17,7 +17,7 @@ on groupings, not hash values (SURVEY.md H1), and sha2 is a JVM built-in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import DedupConfig, CANONICAL
@@ -77,13 +77,21 @@ def exact_membership(
     hashed = with_content_hash(clean, cfg, use_cascade).select(
         "url", "warc_ts", "content_hash"
     )
-    w = Window.partitionBy("content_hash")
-    return hashed.select(
-        "url",
-        "warc_ts",
-        "content_hash",
-        F.count("*").over(w).alias("group_size"),
-        F.min("url").over(w).alias("exact_group_id"),
+    # hash-aggregate + join, NOT a window over content_hash: the window form
+    # funnels EVERY row of a hot hash through one task (at web scale a
+    # boilerplate group has 10^6-10^8 members — one task sorting the whole
+    # group), while the aggregation's map-side partial combine absorbs the
+    # hot key and the join streams. AQE skew-join splitting covers the
+    # residual join-side hotness.
+    stats = hashed.groupBy("content_hash").agg(
+        F.count("*").alias("group_size"),
+        F.min("url").alias("exact_group_id"),
+    )
+    # SHUFFLE_HASH: build on the compact stats side, stream the rows —
+    # sort-merge would sort the row relation for nothing (substring.py has
+    # the measured rationale for this hint pattern)
+    return hashed.join(stats.hint("shuffle_hash"), "content_hash").select(
+        "url", "warc_ts", "content_hash", "group_size", "exact_group_id"
     )
 
 
@@ -129,10 +137,22 @@ def representatives(clean_hashed: DataFrame) -> DataFrame:
     optimization (SimilarImageFinder.cs:161-165 via TryAdd first-wins; ours
     is the deterministic min-url variant, SURVEY.md A3). All signature stages
     run on this collapsed set: on boilerplate-heavy webtext this is the
-    single biggest constant-factor win (SURVEY.md §4)."""
-    w = Window.partitionBy("content_hash").orderBy("url")
-    return (
-        clean_hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    single biggest constant-factor win (SURVEY.md §4).
+
+    Winner selection is a hash aggregation + semi-join, NOT a row_number
+    window over content_hash: the window shuffles the full WIDE rows by
+    content_hash, so a hot hash (an identical-boilerplate group with
+    10^6-10^8 members at web scale) lands in ONE task that sorts the whole
+    group's text, while the agg partial-combines map-side and the semi-join
+    keys on (content_hash, url) — perfectly uniform even when one hash
+    repeats 10^6 times. (Adopted during the r5 skew-bench investigation;
+    the skew corpus's measured straggler itself turned out to be parquet
+    row-group layout, but the window's hot-key funnel is structural.)"""
+    winners = clean_hashed.groupBy("content_hash").agg(
+        F.min("url").alias("url")
+    )
+    # SHUFFLE_HASH on the narrow winners side: sort-merge would sort the
+    # full WIDE text relation just to drop the losers
+    return clean_hashed.join(
+        winners.hint("shuffle_hash"), ["content_hash", "url"], "left_semi"
     )

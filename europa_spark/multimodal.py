@@ -395,7 +395,7 @@ def media_blockmean_pairs(
     queries (r4 VERDICT next-round #8).
 
     Candidates: the 121-byte hex signature splits into ``n_bands``
-    BYTE-ALIGNED substring bands (16 x 7 bytes + 1 x 9 at the default) —
+    BYTE-ALIGNED substring bands (2 x 8 bytes + 15 x 7 at the default) —
     a differing BIT lives in exactly one byte hence at most one band, so
     pairs within Hamming d touch <= d bands and collide on >= 1 of d+1
     (pigeonhole-complete recall for d <= n_bands - 1). Band buckets above

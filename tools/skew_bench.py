@@ -65,6 +65,12 @@ def ensure_skew_corpus(base_dir: str, kind: str) -> str:
         else " || ' zz' || CAST(hash(url) AS VARCHAR)"
     )
     con = duckdb.connect()
+    # ROW_GROUP_SIZE must match the uniform corpus layout (~4k rows/group):
+    # DuckDB's 122k-row default collapses the scan to 2 row groups = 2 scan
+    # tasks, and the pipelined scan+extract+signature chain turns into a
+    # 66 s single-task straggler that measures the FILE LAYOUT, not skew
+    # handling (diagnosed via per-stage max-task times; the first skew run
+    # this round reported 1.9x walls for exactly this reason)
     con.execute(
         f"""
 COPY (
@@ -73,7 +79,7 @@ COPY (
               THEN '{BOILER}'{tail} ELSE text END AS text,
          lang
   FROM '{base_dir}/documents.parquet'
-) TO '{out}/documents.parquet' (FORMAT PARQUET)
+) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)
 """
     )
     with open(done, "w") as f:

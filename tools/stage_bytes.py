@@ -101,10 +101,13 @@ def _open_eventlog(path: str):
     # zstandard module is not in this container, so shell out to the CLI
     if path.endswith(".zstd"):
         import io
+        import shutil
         import subprocess
 
+        # PATH-robust: tmux/cron shells may not have the conda bin dir
+        zstd = shutil.which("zstd") or "/root/miniconda/bin/zstd"
         proc = subprocess.Popen(
-            ["zstd", "-dc", path], stdout=subprocess.PIPE
+            [zstd, "-dc", path], stdout=subprocess.PIPE
         )
         return io.TextIOWrapper(proc.stdout)
     return open(path)
