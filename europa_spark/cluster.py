@@ -215,21 +215,59 @@ def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
     return labels.select("url", F.col("label").alias("cluster_id"))
 
 
+MAX_MEMBERS = 10_000  # newest members materialized per cluster row
+_MEMBER_SALTS = 32
+
+
+def _topk_members(
+    rows: DataFrame, key: str, max_members: int
+) -> DataFrame:
+    """(key, warc_ts, url) -> (key, n_members, members): newest-first member
+    arrays capped at ``max_members``, built as a SALTED two-phase top-K so a
+    mega-cluster never funnels through one task:
+
+      phase 1 groups by (key, salt) and keeps each salt's newest
+      ``max_members`` (partial top-K is decomposable: the global newest-K is
+      a subset of the union of per-salt newest-K);
+      phase 2 merges <= _MEMBER_SALTS * max_members rows per key.
+
+    A single collect_list per key (the naive form) materializes the WHOLE
+    cluster in one reduce task — a web-scale boilerplate cluster has
+    10^6-10^8 members and that one row OOMs the task. ``n_members`` is
+    always the TRUE count; only the materialized array truncates (the
+    full membership lives in the report's url -> cluster_id mapping)."""
+    salted = rows.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(_MEMBER_SALTS))
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count("*").alias("_n"),
+        F.slice(
+            F.reverse(F.array_sort(F.collect_list(F.struct("warc_ts", "url")))),
+            1,
+            max_members,
+        ).alias("_m"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n_members"),
+        F.slice(
+            F.reverse(F.array_sort(F.flatten(F.collect_list("_m")))),
+            1,
+            max_members,
+        ).alias("members"),
+    )
+
+
 def cluster_members(
-    components: DataFrame, docs: DataFrame
+    components: DataFrame, docs: DataFrame, max_members: int = MAX_MEMBERS
 ) -> DataFrame:
     """Expand components back over documents (C2, SimilarImageFinder.cs:
-    430-471): (cluster_id, n_members, members newest-first)."""
+    430-471): (cluster_id, n_members, members newest-first). Member arrays
+    cap at ``max_members`` newest (true count in n_members; see
+    _topk_members for the mega-cluster rationale) — identical to the
+    uncapped output whenever every cluster fits the cap."""
     joined = docs.join(components, "url").select(
         "cluster_id", "warc_ts", "url"
     )
-    return (
-        joined.groupBy("cluster_id")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.reverse(
-                F.array_sort(F.collect_list(F.struct("warc_ts", "url")))
-            ).alias("members"),
-        )
-        .filter(F.col("n_members") >= 2)
+    return _topk_members(joined, "cluster_id", max_members).filter(
+        F.col("n_members") >= 2
     )

@@ -98,17 +98,21 @@ def exact_membership(
 def exact_clusters(membership: DataFrame) -> DataFrame:
     """Duplicate groups (>= 2 members), members newest-first — the
     DuplicatesResponse shape (DuplicateByHashFinder.cs:73-76;
-    DuplicatesResponse.cs:10-19)."""
-    return (
-        membership.filter(F.col("group_size") > 1)
-        .groupBy("content_hash")
-        .agg(
-            F.min("url").alias("cluster_id"),
-            F.count("*").alias("n_members"),
-            F.reverse(
-                F.array_sort(F.collect_list(F.struct("warc_ts", "url")))
-            ).alias("members"),
-        )
+    DuplicatesResponse.cs:10-19). Member arrays cap at cluster.MAX_MEMBERS
+    newest via the salted two-phase top-K (cluster._topk_members: a naive
+    collect_list materializes a web-scale mega-group in ONE reduce task);
+    n_members is the true count, cluster_id = exact_group_id = min url."""
+    from .cluster import MAX_MEMBERS, _topk_members
+
+    rows = membership.filter(F.col("group_size") > 1).select(
+        "content_hash", "warc_ts", "url"
+    )
+    caps = _topk_members(rows, "content_hash", MAX_MEMBERS)
+    winners = membership.filter(F.col("group_size") > 1).groupBy(
+        "content_hash"
+    ).agg(F.min("url").alias("cluster_id"))
+    return caps.join(winners.hint("shuffle_hash"), "content_hash").select(
+        "content_hash", "cluster_id", "n_members", "members"
     )
 
 

@@ -95,3 +95,37 @@ def test_cluster_members_order(spark):
     rows = {r["cluster_id"]: r for r in cluster_members(comps, docs).collect()}
     assert list(rows) == ["a"]  # singleton component c is dropped
     assert [m["url"] for m in rows["a"]["members"]] == ["b", "a"]  # newest first
+
+
+def test_member_cap_two_phase_topk(spark):
+    """Member arrays cap at max_members NEWEST via the salted two-phase
+    top-K — n_members stays the TRUE count, and the truncated array equals
+    the naive global newest-first top-K exactly (a mega boilerplate cluster
+    must never materialize whole in one reduce task)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from europa_spark.cluster import cluster_members
+
+    n = 97
+    docs = spark.createDataFrame(
+        [
+            (f"u{i:03d}", datetime.datetime(2020, 1, 1)
+             + datetime.timedelta(minutes=i))
+            for i in range(n)
+        ],
+        "url string, warc_ts timestamp",
+    )
+    comp = docs.select("url", F.lit("u000").alias("cluster_id"))
+    out = cluster_members(comp, docs, max_members=10).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_members"] == n
+    got = [(m["url"]) for m in row["members"]]
+    want = [f"u{i:03d}" for i in range(n - 1, n - 11, -1)]  # newest first
+    assert got == want
+    # uncapped path unchanged
+    full = cluster_members(comp, docs).collect()[0]
+    assert full["n_members"] == n and len(full["members"]) == n
+    assert [m["url"] for m in full["members"]][:3] == ["u096", "u095", "u094"]
