@@ -208,12 +208,21 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard: identical output as long as LSH candidate recall is 1.0 at
     this scale (verification is exact, so false positives are impossible)."""
     clean = _clean(spark, sf_dir)
-    reps = representatives(with_content_hash(clean)).select("url", "extracted")
-    return _drained(
-        lambda reg: minhash_pairs(reps, registry=reg).select(
+
+    def build(reg: list) -> DataFrame:
+        # reps feeds BOTH the signature UDF and the verify text join —
+        # registry-persist it so the scan+hash+winner subtree runs once
+        # (the signature materialization inside minhash_pairs is the first
+        # action, so the lazy persist fills before the verify join reads it)
+        reps = representatives(with_content_hash(clean)).select(
+            "url", "extracted"
+        ).persist()
+        reg.append(reps)
+        return minhash_pairs(reps, registry=reg).select(
             "url_a", "url_b", F.col("score").alias("jaccard")
         )
-    )
+
+    return _drained(build)
 
 
 # gated simhash config: FNV-1a token hash, so the whole signature (and the
@@ -223,12 +232,18 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_FNV = CANONICAL.__class__(simhash_token_hash="fnv1a")
 
 
-def _assert_ascii(reps: DataFrame) -> DataFrame:
-    """Fail LOUDLY if any rep text is non-ASCII (r3 ADVICE #4): the DuckDB
+def _assert_ascii(docs: DataFrame) -> DataFrame:
+    """Fail LOUDLY if any text is non-ASCII (r3 ADVICE #4): the DuckDB
     FNV twin hashes per CHARACTER (ord over substr) while the Spark kernel
     hashes per UTF-8 BYTE — equal iff chars == bytes. An early-exit scan
-    (limit 1) turns the silent oracle divergence into a hard error."""
-    bad = reps.filter(
+    (limit 1) turns the silent oracle divergence into a hard error.
+
+    Callers pass the CLEAN frame, not the representatives: reps are one row
+    per distinct content of clean, so the two carry exactly the same set of
+    text VALUES and the assertions are equivalent — but asserting on clean
+    is a plain scan+filter job, while asserting on reps re-ran the whole
+    hash+group+join winner subtree just to scan the same texts (r6)."""
+    bad = docs.filter(
         F.length("extracted") != F.octet_length("extracted")
     ).limit(1).count()
     if bad:
@@ -236,7 +251,7 @@ def _assert_ascii(reps: DataFrame) -> DataFrame:
             "FNV-SimHash oracle requires ASCII-only text (char-hash SQL twin "
             "vs byte-hash Spark kernel would silently diverge)"
         )
-    return reps
+    return docs
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,10 +259,8 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming over the SQL-computed signatures: identical because pigeonhole
     bands (4 >= d+1) guarantee candidate recall and no sf0.01 band bucket
     exceeds bucket_cap (hot-bucket star routing never engages)."""
-    clean = _clean(spark, sf_dir)
-    reps = _assert_ascii(
-        representatives(with_content_hash(clean)).select("url", "extracted")
-    )
+    clean = _assert_ascii(_clean(spark, sf_dir))
+    reps = representatives(with_content_hash(clean)).select("url", "extracted")
     return _drained(
         lambda reg: simhash_pairs(reps, SIMHASH_FNV, registry=reg).select(
             "url_a", "url_b", "score"
@@ -256,12 +269,10 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clean = _clean(spark, sf_dir)
     # same char-vs-byte caveat as the FNV twin: the winnowing SQL twin
     # hashes characters, the kernel hashes UTF-8 bytes
-    reps = _assert_ascii(
-        representatives(with_content_hash(clean)).select("url", "extracted")
-    )
+    clean = _assert_ascii(_clean(spark, sf_dir))
+    reps = representatives(with_content_hash(clean)).select("url", "extracted")
     return _drained(
         lambda reg: substring_pairs(reps, registry=reg).select(
             "url_a", "url_b", "score"
@@ -305,12 +316,18 @@ def _q_nearest_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     AudioHashGenerator.cs:46-48's single best match): for every doc with at
     least one confirmed near-dup, its highest-Jaccard neighbor."""
     clean = _clean(spark, sf_dir)
-    reps = representatives(with_content_hash(clean)).select("url", "extracted")
-    pairs = _drained(
-        lambda reg: minhash_pairs(reps, registry=reg).select(
+
+    def build(reg: list) -> DataFrame:
+        # same reps registry-persist as _q_minhash_pairs (two consumers)
+        reps = representatives(with_content_hash(clean)).select(
+            "url", "extracted"
+        ).persist()
+        reg.append(reps)
+        return minhash_pairs(reps, registry=reg).select(
             "url_a", "url_b", "score"
         )
-    )
+
+    pairs = _drained(build)
     sym = pairs.unionByName(
         pairs.select(
             F.col("url_b").alias("url_a"), F.col("url_a").alias("url_b"), "score"
@@ -333,10 +350,8 @@ def _q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-oracle-gated against the DuckDB HUGEINT replay of the identical
     FNV-1a + bigram-mix + bit-vote chain (r2 VERDICT next-round #4; the
     blake2b default stays pinned by tests/test_simhash.py)."""
-    clean = _clean(spark, sf_dir)
-    reps = _assert_ascii(
-        representatives(with_content_hash(clean)).select("url", "extracted")
-    )
+    clean = _assert_ascii(_clean(spark, sf_dir))
+    reps = representatives(with_content_hash(clean)).select("url", "extracted")
     return with_simhash(reps, SIMHASH_FNV).select(
         "url", F.lpad(F.hex("simhash"), 16, "0").alias("simhash_hex")
     )

