@@ -420,37 +420,40 @@ def candidate_pairs(
 def _candidate_pairs(
     bands: DataFrame, cfg: DedupConfig, registry: list
 ) -> DataFrame:
-    # MATERIALIZE the band table ONCE, pre-partitioned on the bucket key:
+    # CACHE the band table ONCE, pre-partitioned on the bucket key:
     # event-log profiling (tools/spark_stage_detail.py, 1M rows) caught the
     # lazy band subtree re-reading the wide signature cache and re-writing
     # its own ~340 MB exchange SIX times — once per downstream reference
     # (stats agg, sized join, and the normal/hot splits) — because AQE does
     # not reuse exchanges across separate DataFrame references. One
-    # repartition exchange at persist time makes the stats aggregation, the
-    # sized join, and the sub-cap self-join all exchange-free
+    # repartition exchange at persist time makes the stats aggregation and
+    # every sized/normal/hot branch join exchange-free
     # (HashPartitioning(band_idx, band_hash) satisfies each downstream
     # distribution; only the salted hot-bucket join re-keys).
     bands = bands.repartition("band_idx", "band_hash").persist()
-    bands.count()  # eager: stats + sized race this in one job
     if registry is not None:
         registry.append(bands)
     # bucket stats via hash aggregation (map-side partial combine), NOT a
     # window: a window would shuffle+sort the full bands table, while the
     # aggregate shuffles one compact row per distinct bucket and the filter
-    # drops the singleton buckets (the vast majority) before the join. AQE
-    # broadcasts the surviving stats when small.
+    # drops the singleton buckets (the vast majority) before the join.
+    #
+    # ONE barrier job materializes bands AND stats (stats is the bands
+    # cache's first consumer, so the lazy persist fills en route — no racing
+    # consumers): the r5 shape spent three blocking jobs here (bands count,
+    # then a persisted `sized` copy of the whole joined band table, counted
+    # again). `sized` is now lazy — each branch streams the bands cache and
+    # hash-probes the small cached stats side, exchange-free and without a
+    # second band-table-sized block-store copy.
     stats = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.count("*").alias("bucket_n"), F.min("url").alias("bucket_min"))
         .filter(F.col("bucket_n") >= 2)
-    )
-    # sized is consumed by the normal AND hot branches (and hot by three
-    # references) — persist so the stats agg + join run once, off the
-    # bands cache, instead of once per branch
-    sized = bands.join(stats, ["band_idx", "band_hash"]).persist()
-    sized.count()
+    ).persist()
+    stats.count()
     if registry is not None:
-        registry.append(sized)
+        registry.append(stats)
+    sized = bands.join(stats, ["band_idx", "band_hash"])
     normal = sized.filter(F.col("bucket_n") <= cfg.bucket_cap).select(
         "band_idx", "band_hash", "url"
     )
@@ -864,10 +867,12 @@ def _minhash_pairs(
 ) -> DataFrame:
     if sigs is None:
         # narrow minhash-only signatures (~1 KB/row): the band subtree
-        # references this twice (stats + join) — persist+materialize so the
-        # UDF runs once, not per racing consumer.
+        # references this several times — persist so the UDF runs once.
+        # LAZY: candidate_pairs' stats barrier is the first (and only
+        # concurrent-free) consumer, so one job materializes the reps
+        # cache, this signature cache, the repartitioned band table and
+        # the bucket stats back-to-back instead of three barrier jobs.
         sigs = with_signatures(reps, cfg, include_shingles=False).persist()
-        sigs.count()
         if registry is not None:
             registry.append(sigs)
     raw_cands = candidate_pairs(band_table(sigs, cfg), cfg, registry=registry)
@@ -878,10 +883,10 @@ def _minhash_pairs(
         # cached for verify's three consumers
         raw_cands = est_prefilter(raw_cands, sigs, cfg)
     # cands is consumed three times in verify (the url prune + both pair
-    # joins); it is small (LSH selectivity) — persist AND materialize so the
-    # band self-join runs once, not per racing consumer stage
+    # joins); it is small (LSH selectivity) — persist so the band self-join
+    # runs once. LAZY: verify's pruned-text barrier consumes the url prune
+    # first (no concurrent reference), filling this cache en route.
     cands = raw_cands.persist()
-    cands.count()
     if registry is not None:
         registry.append(cands)
     # verify recomputes shingles for candidate urls only when sigs are

@@ -243,20 +243,56 @@ def run(
                 lambda: _truncate(with_dual_signatures(reps, cfg)),
             )
             sigs = dual.select("url", "minhash")
-            pair_frames.append(
-                stage(
-                    "pairs_minhash",
-                    lambda: minhash_pairs(reps, cfg, sigs=sigs, registry=persisted),
+            # the minhash chain (band stats + candidate/verify barriers) and
+            # the substring chain (fingerprint df-cap barrier) are
+            # independent until the pair union — submit them from two driver
+            # threads so their barrier jobs overlap instead of serializing
+            # (guide §2.6: actions are only sequential because the driver
+            # calls them sequentially; FIFO scheduling back-fills the tail
+            # of one chain's stages with the other's tasks). Both read only
+            # the materialized dual checkpoint, so there is no shared
+            # unmaterialized frame to race; job descriptions are
+            # thread-local, so each chain keeps its own label. Store-backed
+            # runs stay sequential: the store manifest commit is
+            # read-modify-write, and two concurrent stage completions could
+            # drop one entry (resume correctness beats the overlap).
+            if store is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_mh = pool.submit(
+                        stage,
+                        "pairs_minhash",
+                        lambda: minhash_pairs(
+                            reps, cfg, sigs=sigs, registry=persisted
+                        ),
+                    )
+                    f_ss = pool.submit(
+                        stage,
+                        "pairs_substring",
+                        lambda: substring_pairs(
+                            reps, cfg, registry=persisted, fp_arrays=dual
+                        ),
+                    )
+                    pair_frames.append(f_mh.result())
+                    pair_frames.append(f_ss.result())
+            else:
+                pair_frames.append(
+                    stage(
+                        "pairs_minhash",
+                        lambda: minhash_pairs(
+                            reps, cfg, sigs=sigs, registry=persisted
+                        ),
+                    )
                 )
-            )
-            pair_frames.append(
-                stage(
-                    "pairs_substring",
-                    lambda: substring_pairs(
-                        reps, cfg, registry=persisted, fp_arrays=dual
-                    ),
+                pair_frames.append(
+                    stage(
+                        "pairs_substring",
+                        lambda: substring_pairs(
+                            reps, cfg, registry=persisted, fp_arrays=dual
+                        ),
+                    )
                 )
-            )
         elif "minhash" in methods:
             # narrow minhash-only signatures (~1 KB/row; the wide shingle
             # arrays stay in the Python worker — emitting+caching them for

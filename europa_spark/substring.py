@@ -167,15 +167,12 @@ def _substring_pairs(
     if fp_arrays is None:
         # the winnow kernel is the expensive part and this DAG consumes the
         # fingerprint relation three times (df-count branch + both self-join
-        # sides): materialize the compact (uid, url, fps) arrays once and
-        # explode JVM-side per consumer. With a checkpoint store this would
-        # be the fingerprints table; localCheckpoint is the in-session
-        # stand-in. (Key-scheme rationale lives on with_fingerprints.)
+        # sides): cache the compact (uid, url, fps) arrays once and explode
+        # JVM-side per consumer. With a checkpoint store this would be the
+        # fingerprints table. LAZY: the rare barrier below is the first
+        # consumer and fills this cache en route (no racing stage touches
+        # it earlier), so the UDF still runs exactly once.
         fp_arrays = with_fingerprints(reps, cfg).persist()
-        # eager: 3 consumers (df-cap count + both self-join sides) race this
-        # relation inside one job — without the barrier the winnow UDF
-        # re-runs per consumer stage
-        fp_arrays.count()
         if registry is not None:
             registry.append(fp_arrays)
     else:
@@ -184,7 +181,7 @@ def _substring_pairs(
     # fingerprints are np.unique'd per doc inside the kernel, so (uid, fp)
     # is already distinct — no dedup shuffle needed.
     #
-    # MATERIALIZE the exploded relation ONCE, pre-partitioned on fp: event-log
+    # CACHE the exploded relation ONCE, pre-partitioned on fp: event-log
     # profiling (tools/spark_stage_detail.py, 1M rows) showed each lazy
     # reference to this subtree re-reading the wide dual cache (~1.3 GB) and
     # re-writing its own exchange — the df-cap agg, the rare join, and both
@@ -200,18 +197,28 @@ def _substring_pairs(
         .repartition("fp")
         .persist()
     )
-    fps.count()  # eager: 2 consumers (df-cap agg + rare join) race this
     if registry is not None:
         registry.append(fps)
     # stop-fingerprint cap: a fingerprint shared by thousands of docs is
     # boilerplate, not evidence of a copied passage. Aggregation runs
     # in-place on the fp-partitioned cache (no exchange).
+    #
+    # ONE barrier job materializes fp_arrays, fps AND rare (sequential
+    # first-consumer chain — no racing stages): the r5 shape paid three
+    # blocking jobs here (fp_arrays count, fps count, then a persisted
+    # `surv` copy of the whole capped relation, counted again). `surv` is
+    # now lazy — each self-join side streams the fps cache and hash-probes
+    # the small cached rare side, exchange-free and without a second
+    # exploded-relation-sized block-store copy.
     rare = (
         fps.groupBy("fp")
         .count()
         .filter((F.col("count") > 1) & (F.col("count") <= max_df))
         .select("fp")
-    )
+    ).persist()
+    rare.count()
+    if registry is not None:
+        registry.append(rare)
     # SHUFFLE_HASH on the RARE side only: a sort-merge plan here SORTS the
     # full exploded relation, and those sort buffers shrink linearly with
     # core count — measured 0 MB spilled at 8 cores vs 9,067 MB at 32 in
@@ -220,10 +227,7 @@ def _substring_pairs(
     # with corpus-duplication volume; hash-building anything
     # corpus-proportional measured 94.7 s vs 60.5 s at 3M/32c. Both sides
     # are fp-partitioned cache reads, so the join moves zero shuffle bytes.
-    surv = fps.join(rare.hint("shuffle_hash"), "fp").persist()
-    surv.count()  # eager: both self-join aliases race this
-    if registry is not None:
-        registry.append(surv)
+    surv = fps.join(rare.hint("shuffle_hash"), "fp")
     a, b = surv.alias("a"), surv.alias("b")
     votes = (
         a.join(b, "fp")
