@@ -232,7 +232,7 @@ _MEMBER_SALTS = 32
 
 
 def _topk_members(
-    rows: DataFrame, key: str, max_members: int
+    rows: DataFrame, key: str, max_members: int, carry: tuple[str, ...] = ()
 ) -> DataFrame:
     """(key, warc_ts, url) -> (key, n_members, members): newest-first member
     arrays capped at ``max_members``, built as a SALTED two-phase top-K so a
@@ -247,7 +247,11 @@ def _topk_members(
     cluster in one reduce task — a web-scale boilerplate cluster has
     10^6-10^8 members and that one row OOMs the task. ``n_members`` is
     always the TRUE count; only the materialized array truncates (the
-    full membership lives in the report's url -> cluster_id mapping)."""
+    full membership lives in the report's url -> cluster_id mapping).
+
+    ``carry``: extra input columns CONSTANT per key (e.g. a precomputed
+    winner id) threaded through both aggregation phases via min — callers
+    avoid re-deriving them with a second groupBy + join (r5 ADVICE)."""
     salted = rows.withColumn(
         "_salt", F.pmod(F.xxhash64("url"), F.lit(_MEMBER_SALTS))
     )
@@ -258,6 +262,7 @@ def _topk_members(
             1,
             max_members,
         ).alias("_m"),
+        *[F.min(c).alias(c) for c in carry],
     )
     return partial.groupBy(key).agg(
         F.sum("_n").alias("n_members"),
@@ -266,6 +271,7 @@ def _topk_members(
             1,
             max_members,
         ).alias("members"),
+        *[F.min(c).alias(c) for c in carry],
     )
 
 

@@ -104,16 +104,15 @@ def exact_clusters(membership: DataFrame) -> DataFrame:
     n_members is the true count, cluster_id = exact_group_id = min url."""
     from .cluster import MAX_MEMBERS, _topk_members
 
+    # membership already carries exact_group_id == min(url) per hash, so the
+    # cluster id rides through the top-K aggregation as a carry column —
+    # the old second groupBy + SHUFFLE_HASH join re-derived it (r5 ADVICE)
     rows = membership.filter(F.col("group_size") > 1).select(
-        "content_hash", "warc_ts", "url"
+        "content_hash", "warc_ts", "url",
+        F.col("exact_group_id").alias("cluster_id"),
     )
-    caps = _topk_members(rows, "content_hash", MAX_MEMBERS)
-    winners = membership.filter(F.col("group_size") > 1).groupBy(
-        "content_hash"
-    ).agg(F.min("url").alias("cluster_id"))
-    return caps.join(winners.hint("shuffle_hash"), "content_hash").select(
-        "content_hash", "cluster_id", "n_members", "members"
-    )
+    caps = _topk_members(rows, "content_hash", MAX_MEMBERS, carry=("cluster_id",))
+    return caps.select("content_hash", "cluster_id", "n_members", "members")
 
 
 def exact_pairs(membership: DataFrame) -> DataFrame:

@@ -103,22 +103,11 @@ def run(
         persisted.append(df)
         return df.persist()
 
-    def _materialize(df: DataFrame) -> DataFrame:
-        # EAGER persist, reserved for expensive frames with 2+ consumers in
-        # the SAME downstream job: concurrent stages racing an unmaterialized
-        # InMemoryRelation each recompute its whole subtree (Spark caches
-        # per-block on first write, it does not share in-flight work), which
-        # re-runs the pandas-UDF kernels per consumer — measured 3x worse
-        # than one barrier. Everything else stays lazy.
-        _persist(df)
-        df.count()
-        return df
-
     ckpt_ids: set = set()
 
     def _truncate(df: DataFrame) -> DataFrame:
         # EAGER materialization that ALSO cuts lineage (localCheckpoint):
-        # same single barrier job as _materialize, but downstream actions
+        # one barrier job, after which downstream actions
         # plan against a leaf LogicalRDD instead of the full composed tree.
         # The deep frames here (signatures -> bands -> candidates -> verify
         # -> union) nest the whole upstream plan MULTIPLICATIVELY (each
@@ -172,18 +161,23 @@ def run(
     # (url, warc_ts, extracted); keeping the html binary out of the cache
     # roughly halves the stored bytes (the in-memory analog of ReadSchema
     # pruning on a checkpoint table).
-    # clean is consumed by 3+ concurrent branches of the first job
-    # (membership, reps->signatures, substring) — eager, or the scan+regex
-    # extract chain re-runs per branch. Tracked as its own stage (timing
-    # only — no checkpoint table) so the scaling profile attributes the
-    # scan+extract+cache bytes to the right phase.
+    # LAZY persist (r6; was an eager barrier): the first action to touch
+    # clean is the signatures checkpoint job, and its winner-url BROADCAST
+    # is a blocking dependency of the semi-join stream stage — Spark
+    # materializes the broadcast subtree (clean cache -> membership cache ->
+    # winner urls) BEFORE launching the stage that streams the clean cache,
+    # so the extract chain still runs exactly once and the separate
+    # materialization job round-trip is saved. Tracked as its own stage
+    # (timing only — no checkpoint table) so the scaling profile attributes
+    # the scan+extract+cache bytes to the right phase (near-zero now: the
+    # fill bills to signatures_dual).
     _t0 = tracker.begin("extract_clean") if tracker is not None else _time.time()
     try:
         # content_hash is computed INTO the cache (sha2 is CPU, which
         # scales; a separate hashing pass would re-stream the 2.5 KB/row
         # text column out of the cache — bytes, which don't): membership
         # then reads only (url, ts, 64 B hash) via columnar pruning
-        clean = _materialize(
+        clean = _persist(
             clean.select("url", "warc_ts", "extracted").withColumn(
                 "content_hash", content_hash_col()
             )
