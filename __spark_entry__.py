@@ -203,6 +203,35 @@ def _drained(build) -> DataFrame:
             f.unpersist()
 
 
+class _CkptBlocks:
+    """Registry shim giving a localCheckpoint's tracked blocks the same
+    .unpersist() contract _drained expects from persisted frames."""
+
+    def __init__(self, spark: SparkSession, ids: set) -> None:
+        self._spark, self._ids = spark, ids
+
+    def unpersist(self) -> None:
+        from europa_spark.cluster import _unpersist_ids
+
+        _unpersist_ids(self._spark, self._ids)
+
+
+def _truncated(df: DataFrame, reg: list) -> DataFrame:
+    """Non-eager localCheckpoint registered for _drained cleanup: cuts the
+    frame's lineage so every downstream reference plans against a leaf
+    LogicalRDD (the reps scan+hash+winner subtree otherwise repeats through
+    the signature cache into EVERY band/verify branch of the final plan —
+    ~12k formatted-plan lines whose analysis/cache-matching the driver
+    re-pays per action; measured 4.08 -> 3.21 s on minhash_lsh_pairs).
+    Non-eager: the first consuming job materializes it, so no extra
+    barrier."""
+    from europa_spark.cluster import _tracked_local_checkpoint
+
+    out, ids = _tracked_local_checkpoint(df, eager=False)
+    reg.append(_CkptBlocks(df.sparkSession, ids))
+    return out
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH + exact-Jaccard verify. Oracle = brute-force exact
     Jaccard: identical output as long as LSH candidate recall is 1.0 at
@@ -211,13 +240,12 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(reg: list) -> DataFrame:
         # reps feeds BOTH the signature UDF and the verify text join —
-        # registry-persist it so the scan+hash+winner subtree runs once
-        # (the signature materialization inside minhash_pairs is the first
-        # action, so the lazy persist fills before the verify join reads it)
-        reps = representatives(with_content_hash(clean)).select(
-            "url", "extracted"
-        ).persist()
-        reg.append(reps)
+        # truncate+cache it so the scan+hash+winner subtree runs once AND
+        # every downstream reference plans against a leaf (see _truncated)
+        reps = _truncated(
+            representatives(with_content_hash(clean)).select("url", "extracted"),
+            reg,
+        )
         return minhash_pairs(reps, registry=reg).select(
             "url_a", "url_b", F.col("score").alias("jaccard")
         )
@@ -260,11 +288,17 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands (4 >= d+1) guarantee candidate recall and no sf0.01 band bucket
     exceeds bucket_cap (hot-bucket star routing never engages)."""
     clean = _assert_ascii(_clean(spark, sf_dir))
-    reps = representatives(with_content_hash(clean)).select("url", "extracted")
     return _drained(
-        lambda reg: simhash_pairs(reps, SIMHASH_FNV, registry=reg).select(
-            "url_a", "url_b", "score"
-        )
+        lambda reg: simhash_pairs(
+            _truncated(
+                representatives(with_content_hash(clean)).select(
+                    "url", "extracted"
+                ),
+                reg,
+            ),
+            SIMHASH_FNV,
+            registry=reg,
+        ).select("url_a", "url_b", "score")
     )
 
 
@@ -272,11 +306,16 @@ def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same char-vs-byte caveat as the FNV twin: the winnowing SQL twin
     # hashes characters, the kernel hashes UTF-8 bytes
     clean = _assert_ascii(_clean(spark, sf_dir))
-    reps = representatives(with_content_hash(clean)).select("url", "extracted")
     return _drained(
-        lambda reg: substring_pairs(reps, registry=reg).select(
-            "url_a", "url_b", "score"
-        )
+        lambda reg: substring_pairs(
+            _truncated(
+                representatives(with_content_hash(clean)).select(
+                    "url", "extracted"
+                ),
+                reg,
+            ),
+            registry=reg,
+        ).select("url_a", "url_b", "score")
     )
 
 
@@ -318,11 +357,11 @@ def _q_nearest_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean(spark, sf_dir)
 
     def build(reg: list) -> DataFrame:
-        # same reps registry-persist as _q_minhash_pairs (two consumers)
-        reps = representatives(with_content_hash(clean)).select(
-            "url", "extracted"
-        ).persist()
-        reg.append(reps)
+        # same reps truncate+cache as _q_minhash_pairs (two consumers)
+        reps = _truncated(
+            representatives(with_content_hash(clean)).select("url", "extracted"),
+            reg,
+        )
         return minhash_pairs(reps, registry=reg).select(
             "url_a", "url_b", "score"
         )

@@ -69,6 +69,63 @@ def cmd_plans(tag: str, names: list[str]) -> None:
     spark.stop()
 
 
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def cmd_plans_detail(tag: str) -> None:
+    """Plans of the INTERNAL frames the checkpointing queries hide (their
+    top-level plan is just the checkpoint's Scan ExistingRDD): the
+    representatives winner join, each confirmed-pair frame, and the
+    pipeline's pairs/components/report frames."""
+    from europa_spark.adapters import load_canonical
+    from europa_spark.config import CANONICAL
+    from europa_spark.exact import (
+        exact_clusters,
+        exact_membership,
+        representatives,
+        with_content_hash,
+    )
+    from europa_spark.extract import split_quarantine, with_extracted
+    from europa_spark.minhash import minhash_pairs
+    from europa_spark.pipeline import run
+    from europa_spark.simhash import simhash_pairs
+    from europa_spark.substring import substring_pairs
+
+    spark = _session()
+    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", tag)
+    os.makedirs(outdir, exist_ok=True)
+
+    docs = load_canonical(spark, SF_DIR)
+    clean, _ = split_quarantine(with_extracted(docs))
+    hashed = with_content_hash(clean)
+    frames = {
+        "representatives": representatives(hashed),
+        "exact_membership": exact_membership(clean),
+        "exact_clusters": exact_clusters(exact_membership(clean)),
+    }
+    reps = representatives(hashed).select("url", "extracted")
+    reg: list = []
+    frames["minhash_confirmed"] = minhash_pairs(reps, registry=reg)
+    frames["simhash_confirmed"] = simhash_pairs(reps, registry=reg)
+    frames["substring_confirmed"] = substring_pairs(reps, registry=reg)
+    out = run(docs)
+    frames["pipeline_pairs"] = out["pairs"]
+    frames["pipeline_components"] = out["components"]
+    frames["pipeline_report"] = out["report"]
+    frames["pipeline_clusters"] = out["clusters"]
+    for name, df in frames.items():
+        with open(os.path.join(outdir, f"{name}.txt"), "w") as f:
+            f.write(_explain(df))
+        print(f"wrote {outdir}/{name}.txt")
+    out["release"]()
+    for f in reg:
+        f.unpersist()
+    spark.stop()
+
+
 def cmd_time(names: list[str]) -> None:
     import __spark_entry__ as entrymod
 
@@ -120,6 +177,8 @@ if __name__ == "__main__":
     cmd = sys.argv[1]
     if cmd == "plans":
         cmd_plans(sys.argv[2], sys.argv[3:])
+    elif cmd == "plans-detail":
+        cmd_plans_detail(sys.argv[2])
     elif cmd == "time":
         cmd_time(sys.argv[2:] or HEADLINE)
     elif cmd == "stages":
