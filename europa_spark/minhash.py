@@ -731,7 +731,12 @@ def incremental_minhash_pairs(
     probes are ONLY the new docs' bands, joined against the full band index
     (old pairs among existing docs are already in the checkpoint).
     """
-    new_sigs = with_signatures(new_reps, cfg)
+    # localCheckpoint: the shingle+minhash UDF subtree feeds four consumers
+    # (probe bands, the accumulated index union, the verify shingle join,
+    # and the caller's state write) — without a barrier it recomputes per
+    # consumer every micro-batch (the simhash/substring incremental paths
+    # already checkpoint theirs for exactly this reason; r6 closes the gap)
+    new_sigs = with_signatures(new_reps, cfg).localCheckpoint()
     cols = ["url", "shingles", "minhash"]
     all_sigs = existing_sigs.select(*cols).unionByName(new_sigs.select(*cols))
     probes = band_table(new_sigs, cfg)

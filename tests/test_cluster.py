@@ -129,3 +129,41 @@ def test_member_cap_two_phase_topk(spark):
     full = cluster_members(comp, docs).collect()[0]
     assert full["n_members"] == n and len(full["members"]) == n
     assert [m["url"] for m in full["members"]][:3] == ["u096", "u095", "u094"]
+
+
+def test_topk_members_carry_survives_truncation(spark):
+    """The carry column (a per-key constant, e.g. exact_clusters' winner id)
+    must ride through BOTH top-K phases unchanged — including when the
+    newest-K truncation drops the carried member itself (the oldest/min
+    url of a mega-group is exactly the row most likely to be truncated
+    out of the newest-first array)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from europa_spark.cluster import _topk_members
+
+    n = 61
+    rows = spark.createDataFrame(
+        [
+            (
+                "h1",
+                datetime.datetime(2020, 1, 1) + datetime.timedelta(minutes=i),
+                f"u{i:03d}",
+                "u000",  # per-key constant: the group's min url
+            )
+            for i in range(n)
+        ],
+        "content_hash string, warc_ts timestamp, url string, cluster_id string",
+    )
+    out = _topk_members(rows, "content_hash", 5, carry=("cluster_id",)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_members"] == n
+    assert [m["url"] for m in row["members"]] == [
+        f"u{i:03d}" for i in range(n - 1, n - 6, -1)
+    ]
+    # u000 (the carried winner) was truncated out of members, yet the carry
+    # still reports it
+    assert row["cluster_id"] == "u000"
+    assert "u000" not in [m["url"] for m in row["members"]]
