@@ -282,13 +282,28 @@ def _assert_ascii(docs: DataFrame) -> DataFrame:
     return docs
 
 
+def _assert_ascii_async(docs: DataFrame):
+    """Submit the ASCII oracle assert on a driver thread so its scan job
+    overlaps the query's main chain (guide §2.6) instead of serializing
+    ahead of it; returns a join callable that re-raises the loud
+    ValueError. External behavior is unchanged — the query still raises
+    before returning any result — only the job overlap differs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(_assert_ascii, docs)
+    pool.shutdown(wait=False)
+    return fut.result
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs within Hamming d=3 of the FNV-SimHash-64. Oracle = brute-force
     Hamming over the SQL-computed signatures: identical because pigeonhole
     bands (4 >= d+1) guarantee candidate recall and no sf0.01 band bucket
     exceeds bucket_cap (hot-bucket star routing never engages)."""
-    clean = _assert_ascii(_clean(spark, sf_dir))
-    return _drained(
+    clean = _clean(spark, sf_dir)
+    check_ascii = _assert_ascii_async(clean)
+    out = _drained(
         lambda reg: simhash_pairs(
             _truncated(
                 representatives(with_content_hash(clean)).select(
@@ -300,13 +315,16 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             registry=reg,
         ).select("url_a", "url_b", "score")
     )
+    check_ascii()
+    return out
 
 
 def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same char-vs-byte caveat as the FNV twin: the winnowing SQL twin
     # hashes characters, the kernel hashes UTF-8 bytes
-    clean = _assert_ascii(_clean(spark, sf_dir))
-    return _drained(
+    clean = _clean(spark, sf_dir)
+    check_ascii = _assert_ascii_async(clean)
+    out = _drained(
         lambda reg: substring_pairs(
             _truncated(
                 representatives(with_content_hash(clean)).select(
@@ -317,6 +335,8 @@ def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             registry=reg,
         ).select("url_a", "url_b", "score")
     )
+    check_ascii()
+    return out
 
 
 def _q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
