@@ -216,6 +216,26 @@ class _CkptBlocks:
         _unpersist_ids(self._spark, self._ids)
 
 
+def _reps_for_kernels(clean: DataFrame, reg: list) -> DataFrame:
+    """Representatives prepared for the signature kernels: winner collapse,
+    narrow (url, extracted) projection, then a non-eager lineage truncation
+    so the scan+hash+winner subtree runs once and every downstream
+    reference plans against a leaf.
+
+    Deliberately NOT spread across cores (pipeline.spread_kernel_input):
+    interleaved A/B at sf0.1 measured the spread HURTING every standalone
+    pair query (minhash 3.42 vs 2.59 s, simhash 2.29 vs 1.91, substring
+    1.51 vs 1.11) — their kernels are lighter than the pipeline's fused
+    dual pass, and the 32-task checkpoint ripples per-task overhead into
+    every downstream verify/band stage — while the same A/B showed it
+    HELPING the pipeline's dual-signature job (dedup_report 4.62 vs
+    5.05 s), where it is applied."""
+    return _truncated(
+        representatives(with_content_hash(clean)).select("url", "extracted"),
+        reg,
+    )
+
+
 def _truncated(df: DataFrame, reg: list) -> DataFrame:
     """Non-eager localCheckpoint registered for _drained cleanup: cuts the
     frame's lineage so every downstream reference plans against a leaf
@@ -240,13 +260,8 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(reg: list) -> DataFrame:
         # reps feeds BOTH the signature UDF and the verify text join —
-        # truncate+cache it so the scan+hash+winner subtree runs once AND
-        # every downstream reference plans against a leaf (see _truncated)
-        reps = _truncated(
-            representatives(with_content_hash(clean)).select("url", "extracted"),
-            reg,
-        )
-        return minhash_pairs(reps, registry=reg).select(
+        # see _reps_for_kernels
+        return minhash_pairs(_reps_for_kernels(clean, reg), registry=reg).select(
             "url_a", "url_b", F.col("score").alias("jaccard")
         )
 
@@ -305,12 +320,7 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check_ascii = _assert_ascii_async(clean)
     out = _drained(
         lambda reg: simhash_pairs(
-            _truncated(
-                representatives(with_content_hash(clean)).select(
-                    "url", "extracted"
-                ),
-                reg,
-            ),
+            _reps_for_kernels(clean, reg),
             SIMHASH_FNV,
             registry=reg,
         ).select("url_a", "url_b", "score")
@@ -326,12 +336,7 @@ def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check_ascii = _assert_ascii_async(clean)
     out = _drained(
         lambda reg: substring_pairs(
-            _truncated(
-                representatives(with_content_hash(clean)).select(
-                    "url", "extracted"
-                ),
-                reg,
-            ),
+            _reps_for_kernels(clean, reg),
             registry=reg,
         ).select("url_a", "url_b", "score")
     )
@@ -377,12 +382,8 @@ def _q_nearest_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean(spark, sf_dir)
 
     def build(reg: list) -> DataFrame:
-        # same reps truncate+cache as _q_minhash_pairs (two consumers)
-        reps = _truncated(
-            representatives(with_content_hash(clean)).select("url", "extracted"),
-            reg,
-        )
-        return minhash_pairs(reps, registry=reg).select(
+        # same reps preparation as _q_minhash_pairs (two consumers)
+        return minhash_pairs(_reps_for_kernels(clean, reg), registry=reg).select(
             "url_a", "url_b", "score"
         )
 

@@ -51,6 +51,31 @@ def load_documents(spark: SparkSession, source: str) -> DataFrame:
     return load_table(spark, source)
 
 
+def spread_kernel_input(
+    df: DataFrame, scan_probe: DataFrame, factor: int = 4
+) -> DataFrame:
+    """Scale-adaptive parallelism for the signature kernels (guide §2:
+    derive partitioning from the input, not a constant): a tiny corpus —
+    e.g. a single-row-group parquet file — yields ONE scan task, so the
+    pandas-UDF kernels run serially on one core no matter the core count.
+    When the SCAN has fewer than cores/``factor`` splits, round-robin the
+    (already collapsed, narrow) kernel input across the default parallelism
+    — ~12 MB shuffled at sf0.1, measured 0.95 -> 0.68 s warm / 5.4 -> 1.7 s
+    cold on the dual-signature job; any production-scale scan has orders of
+    magnitude more splits than cores and this is a no-op.
+
+    The partition probe runs on ``scan_probe`` (the exchange-free scan
+    frame), NOT on ``df``: calling .rdd on a plan containing exchanges
+    executes those query stages under AQE, which would launch jobs as a
+    side effect. Narrow ops and broadcast joins preserve the stream side's
+    partitioning, so the scan's split count IS df's partition count."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if scan_probe.rdd.getNumPartitions() * factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def apply_filters(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Declarative scan predicates (FileFilter.cs:7-28 analog) — expressed
     as filters so Catalyst pushes them into the parquet/Iceberg scan."""
@@ -234,7 +259,11 @@ def run(
             # needs winnow fps would fail downstream (r3 ADVICE #2).
             dual = stage(
                 "signatures_dual",
-                lambda: _truncate(with_dual_signatures(reps, cfg)),
+                lambda: _truncate(
+                    with_dual_signatures(
+                        spread_kernel_input(reps, filtered), cfg
+                    )
+                ),
             )
             sigs = dual.select("url", "minhash")
             # the minhash chain (band stats + candidate/verify barriers) and
@@ -295,9 +324,11 @@ def run(
             sigs = stage(
                 "signatures",
                 lambda: _truncate(
-                    with_signatures(reps, cfg, include_shingles=False).select(
-                        "url", "minhash"
-                    )
+                    with_signatures(
+                        spread_kernel_input(reps, filtered),
+                        cfg,
+                        include_shingles=False,
+                    ).select("url", "minhash")
                 ),
             )
             pair_frames.append(
