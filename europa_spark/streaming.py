@@ -196,7 +196,7 @@ def process_batch_neardup(
     cfg = cfg or CANONICAL
     spark = batch_df.sparkSession
     clean, _ = split_quarantine(with_extracted(batch_df))
-    new_reps = representatives(with_content_hash(clean, cfg)).select(
+    new_reps = representatives(with_content_hash(clean, cfg), cfg).select(
         "url", "extracted"
     )
 
@@ -280,7 +280,7 @@ def process_batch_substring(
     cfg = cfg or CANONICAL
     spark = batch_df.sparkSession
     clean, _ = split_quarantine(with_extracted(batch_df))
-    new_reps = representatives(with_content_hash(clean, cfg)).select(
+    new_reps = representatives(with_content_hash(clean, cfg), cfg).select(
         "url", "extracted"
     )
     existing_fps = _read_state(
@@ -358,7 +358,7 @@ def process_batch_simhash(
     cfg = cfg or CANONICAL
     spark = batch_df.sparkSession
     clean, _ = split_quarantine(with_extracted(batch_df))
-    new_reps = representatives(with_content_hash(clean, cfg)).select(
+    new_reps = representatives(with_content_hash(clean, cfg), cfg).select(
         "url", "extracted"
     )
     existing_sigs = _read_state(
