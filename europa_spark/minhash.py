@@ -90,46 +90,56 @@ def _shingle_hashes_np(
 _CHUNK_TOKENS = 64_000  # keep the k-gram polynomial loop cache-resident
 
 
+def _tokenize_hashed(
+    texts: list[str], token_hash=_token_hash, cache: dict | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split every text on single spaces and hash each token: one Arrow C
+    pass for split/flatten/dictionary-encode (token lists identical to
+    ``str.split(" ")``, including the empty-token behavior — pinned by the
+    kernel-equivalence tests), then ONE Python hash call per DISTINCT token,
+    gathered back through the dictionary codes. Replaces the r5
+    per-row ``t.split(" ")`` + object-array ``pd.factorize`` tokenizer
+    (millions of per-token PyObjects; measured ~2.6x slower) with zero
+    change in values. Returns (per-row token counts int64, flat per-token
+    uint64 hash array)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cache = {} if cache is None else cache
+    arr = pa.array(texts, type=pa.string())
+    toks = pc.split_pattern(arr, " ")
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    enc = pc.list_flatten(toks).dictionary_encode()
+    codes = enc.indices.to_numpy()
+    uh = np.fromiter(
+        (token_hash(u, cache) for u in enc.dictionary.to_pylist()),
+        dtype=_U64,
+        count=len(enc.dictionary),
+    )
+    return lens, uh[codes]
+
+
 def _batch_shingle_hashes(texts: list[str], k: int) -> list[np.ndarray]:
-    """Chunked-batch twin of _shingle_hashes_np: tokenize rows, hash unique
-    tokens once per chunk (pd.factorize, C speed; the token-hash dict cache
-    of the reference kernel becomes a vectorized gather), then compute the
+    """Chunked-batch twin of _shingle_hashes_np: tokenize+hash all rows in
+    one Arrow pass (_tokenize_hashed — the token-hash dict cache of the
+    reference kernel becomes one hash per distinct token), then compute the
     k-gram polynomial over ~64k-token chunks with row-boundary masking.
     Identical output to the per-row reference kernel (asserted in tests)."""
-    tok_lists = [t.split(" ") for t in texts]
     out: list[np.ndarray] = [None] * len(texts)  # type: ignore[list-item]
-    hash_cache: dict[str, int] = {}
+    lens_all, T_all = _tokenize_hashed(texts, _token_hash)
+    starts_all = np.zeros(len(lens_all), dtype=np.int64)
+    np.cumsum(lens_all[:-1], out=starts_all[1:])
+    n_rows = len(lens_all)
     i = 0
-    while i < len(tok_lists):
+    while i < n_rows:
         j, toks = i, 0
-        while j < len(tok_lists) and (toks == 0 or toks + len(tok_lists[j]) <= _CHUNK_TOKENS):
-            toks += len(tok_lists[j])
+        while j < n_rows and (toks == 0 or toks + int(lens_all[j]) <= _CHUNK_TOKENS):
+            toks += int(lens_all[j])
             j += 1
-        chunk = tok_lists[i:j]
-        lens = np.fromiter((len(t) for t in chunk), dtype=np.int64, count=len(chunk))
-        total = int(lens.sum())
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for t in chunk:
-            flat[pos : pos + len(t)] = t
-            pos += len(t)
-        codes, uniques = pd.factorize(flat)
-        uh = np.fromiter(
-            (
-                hash_cache.get(u)
-                or hash_cache.setdefault(
-                    u,
-                    int.from_bytes(
-                        hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(),
-                        "little",
-                    ),
-                )
-                for u in uniques
-            ),
-            dtype=_U64,
-            count=len(uniques),
-        )
-        T = uh[codes]
+        s0 = int(starts_all[i])
+        lens = lens_all[i:j]
+        total = toks
+        T = T_all[s0 : s0 + total]
         acc = None
         m_total = total - k + 1
         if m_total > 0:
@@ -137,10 +147,8 @@ def _batch_shingle_hashes(texts: list[str], k: int) -> list[np.ndarray]:
             for jj in range(1, k):
                 acc *= _SHINGLE_BASE
                 acc += T[jj : jj + m_total]
-        starts = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
         for r, n in enumerate(lens):
-            n, s = int(n), int(starts[r])
+            n, s = int(n), int(starts_all[i + r]) - s0
             if n >= k:
                 out[i + r] = np.unique(acc[s : s + n - k + 1])
             else:

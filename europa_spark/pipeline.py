@@ -207,6 +207,20 @@ def run(
                 "content_hash", content_hash_col()
             )
         )
+        # EAGER fill (one cheap count barrier): the dual-signature
+        # checkpoint's count() runs under AQE, which materializes that
+        # plan's INDEPENDENT leaf query stages CONCURRENTLY — the
+        # membership SHUFFLE_HASH join alone has two map stages reading
+        # clean, so a lazy cache gets raced by 3 simultaneous jobs that
+        # each recompute scan+extract+sha2 from parquet (event-log at 200k
+        # docs: 3 identical 32-task jobs, 5 full corpus reads, 692
+        # task-seconds of GC, 51 s wall for what one fill does in ~6 s).
+        # The count touches only the cache-fill pass; every later consumer
+        # hits filled blocks.
+        if _os.environ.get("EUROPA_LAZY_CLEAN") != "1":
+            spark.sparkContext.setJobDescription("europa:extract_clean")
+            clean.count()
+            spark.sparkContext.setJobDescription(None)
     finally:
         if tracker is not None:
             tracker.end("extract_clean", _t0)

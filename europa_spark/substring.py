@@ -31,8 +31,50 @@ from .config import DedupConfig, CANONICAL
 
 _U64 = np.uint64
 _ROLL_BASE = _U64(1099511628211)  # FNV prime, odd
+# modular inverse of the (odd) base in Z/2^64 — exists, so the k-gram
+# polynomial factors through prefix sums (see _batch_winnow)
+_INV_BASE = _U64(pow(int(_ROLL_BASE), -1, 1 << 64))
 
 WINNOW_MAX_DF = 1000  # stop-fingerprint document-frequency cap
+
+# data-independent power tables, grown on demand and cached:
+# _POW_TABLES = [inv_pows, base_pows] with inv_pows[i] = base^-i,
+# base_pows[i] = base^i (both mod 2^64)
+_POW_TABLES: list[np.ndarray] = [
+    np.array([1], dtype=_U64),
+    np.array([1], dtype=_U64),
+]
+
+
+def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    if len(_POW_TABLES[0]) < n:
+        m = max(n, 2 * len(_POW_TABLES[0]))
+        inv = np.empty(m, dtype=_U64)
+        inv[0] = 1
+        np.cumprod(np.full(m - 1, _INV_BASE, dtype=_U64), out=inv[1:])
+        pb = np.empty(m, dtype=_U64)
+        pb[0] = 1
+        np.cumprod(np.full(m - 1, _ROLL_BASE, dtype=_U64), out=pb[1:])
+        _POW_TABLES[0], _POW_TABLES[1] = inv, pb
+    return _POW_TABLES[0], _POW_TABLES[1]
+
+
+def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """Exact minimum of every length-``w`` window in O(n): per-block
+    prefix/suffix minima (two ``minimum.accumulate`` passes over blocks of
+    w) instead of the O(n*w) strided-view reduction — window [j, j+w-1]
+    spans at most two w-aligned blocks, so its min is
+    min(suffix_min_of_first_block[j], prefix_min_of_second[j+w-1]).
+    Identical values to sliding_window_view(h, w).min(axis=1)."""
+    n = len(h)
+    m = n - w + 1
+    nb = -(-n // w)
+    pad = np.full(nb * w, np.iinfo(np.uint64).max, dtype=_U64)
+    pad[:n] = h
+    blocks = pad.reshape(nb, w)
+    pre = np.minimum.accumulate(blocks, axis=1).ravel()
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[:m], pre[w - 1 : w - 1 + m])
 
 
 def _winnow_np(text: str, k: int, w: int) -> np.ndarray:
@@ -64,11 +106,14 @@ _CHUNK_CHARS = 65_536
 
 
 def _batch_winnow(texts: list[str], k: int, w: int) -> list[np.ndarray]:
-    """Chunked-batch twin of _winnow_np: the k-iteration rolling-hash loop
-    runs over concatenated row bytes in ~200 KB chunks — large enough to
-    amortize per-row numpy overhead, small enough to stay cache-resident
-    (a whole-batch array would be DRAM-bound through all k iterations).
-    Identical output to the per-row kernel (tested)."""
+    """Chunked-batch twin of _winnow_np: the k-gram rolling hash runs over
+    concatenated row bytes in ~64 KB chunks — large enough to amortize
+    per-row numpy overhead, small enough to stay cache-resident. The hash
+    is computed via modular prefix sums (~4 passes; see inline note) and
+    the per-window minimum via the O(n) block prefix/suffix method
+    (_sliding_min) — together ~6 passes over the chunk where the r5 kernel
+    paid k + w ≈ 192 (k=64 multiply-adds, then an O(n*w) strided-view
+    reduction). Identical output to the per-row kernel (tested)."""
     out: list[np.ndarray] = [None] * len(texts)  # type: ignore[list-item]
     bs = [t.encode("utf-8") for t in texts]
     i = 0
@@ -82,12 +127,22 @@ def _batch_winnow(texts: list[str], k: int, w: int) -> list[np.ndarray]:
         total = int(lens.sum())
         acc = None
         if total >= k:
+            # k-gram rolling hash via modular prefix sums (~4 passes instead
+            # of the k-iteration multiply-add loop; k=64 in the canonical
+            # config):  h_j = sum b_i*base^(j+k-1-i)
+            #               = base^(k-1+j) * (S_{j+k} - S_j)
+            # with S the prefix sum of b_i * base^-i, everything in the
+            # Z/2^64 ring (base is odd, so base^-1 exists) — bit-identical
+            # to the loop, pinned by tests/test_kernel_properties.py
             allb = np.frombuffer(b"".join(chunk), dtype=np.uint8).astype(_U64)
             m_total = total - k + 1
-            acc = allb[0:m_total].copy()
-            for jj in range(1, k):
-                acc *= _ROLL_BASE
-                acc += allb[jj : jj + m_total]
+            inv_pows, base_pows = _powers(total + 1)
+            wgt = allb * inv_pows[:total]
+            S = np.empty(total + 1, dtype=_U64)
+            S[0] = 0
+            np.cumsum(wgt, out=S[1:])
+            acc = S[k:] - S[:-k]
+            acc *= base_pows[k - 1 : k - 1 + m_total]
         starts = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         for r, n in enumerate(lens):
@@ -104,8 +159,7 @@ def _batch_winnow(texts: list[str], k: int, w: int) -> list[np.ndarray]:
                 if len(hrow) <= w:
                     out[i + r] = np.unique(hrow[[int(np.argmin(hrow))]])
                 else:
-                    win = np.lib.stride_tricks.sliding_window_view(hrow, w)
-                    out[i + r] = np.unique(win.min(axis=1))
+                    out[i + r] = np.unique(_sliding_min(hrow, w))
         i = j
     return out
 
