@@ -207,17 +207,20 @@ def run(
                 "content_hash", content_hash_col()
             )
         )
-        # EAGER fill (one cheap count barrier): the dual-signature
-        # checkpoint's count() runs under AQE, which materializes that
-        # plan's INDEPENDENT leaf query stages CONCURRENTLY — the
-        # membership SHUFFLE_HASH join alone has two map stages reading
-        # clean, so a lazy cache gets raced by 3 simultaneous jobs that
-        # each recompute scan+extract+sha2 from parquet (event-log at 200k
-        # docs: 3 identical 32-task jobs, 5 full corpus reads, 692
-        # task-seconds of GC, 51 s wall for what one fill does in ~6 s).
-        # The count touches only the cache-fill pass; every later consumer
-        # hits filled blocks.
-        if _os.environ.get("EUROPA_LAZY_CLEAN") != "1":
+        # Race caveat, measured both ways (r6): the dual checkpoint's
+        # count() under AQE materializes its independent leaf query stages
+        # CONCURRENTLY (the membership SHUFFLE_HASH join alone has two map
+        # stages over clean), so on a COLD first run up to 3 jobs race this
+        # lazy cache and recompute scan+extract+sha2 for the partitions
+        # in flight simultaneously (event log, cold 200k: 3 concurrent
+        # 32-task jobs, 692 task-seconds of GC). The duplication is bounded
+        # by the in-flight window (~cores partitions), NOT corpus size:
+        # trailing tasks find the block already cached and skip compute.
+        # An eager count() barrier here removes the race but serializes the
+        # fill — interleaved A/B measured it SLOWER everywhere warm
+        # (sf0.1: 4.87 lazy vs 5.15 eager; 1M same-session toggle:
+        # 45.3 lazy vs 50.9 eager min-of-2), so the fill stays lazy.
+        if _os.environ.get("EUROPA_EAGER_CLEAN") == "1":  # diagnosis hook
             spark.sparkContext.setJobDescription("europa:extract_clean")
             clean.count()
             spark.sparkContext.setJobDescription(None)
