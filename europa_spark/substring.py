@@ -270,7 +270,9 @@ def _substring_pairs(
         .filter((F.col("count") > 1) & (F.col("count") <= max_df))
         .select("fp")
     ).persist()
-    rare.count()
+    import os as _os
+    if _os.environ.get("EUROPA_LAZY_RARE") != "1":
+        rare.count()
     if registry is not None:
         registry.append(rare)
     # SHUFFLE_HASH on the RARE side only: a sort-merge plan here SORTS the
