@@ -55,7 +55,13 @@ def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
         pb = np.empty(m, dtype=_U64)
         pb[0] = 1
         np.cumprod(np.full(m - 1, _ROLL_BASE, dtype=_U64), out=pb[1:])
-        _POW_TABLES[0], _POW_TABLES[1] = inv, pb
+        # cache only chunk-sized tables: a single pathological multi-MB
+        # document forms its own over-sized chunk, and pinning tables of
+        # that size in every long-lived worker would hold 16 B/byte-of-
+        # largest-doc forever — compute-and-discard beyond 16x chunk
+        if m <= 16 * _CHUNK_CHARS:
+            _POW_TABLES[0], _POW_TABLES[1] = inv, pb
+        return inv, pb
     return _POW_TABLES[0], _POW_TABLES[1]
 
 
